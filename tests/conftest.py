@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-device virtual CPU mesh so sharding tests
+run without TPU hardware, and keep everything deterministic."""
+
+import os
+
+# Must be set before jax import (any test importing lambda_tpu device code
+# will transitively import jax).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,38 @@
+import gzip
+
+from lambda_tpu.io import fasta
+
+
+def test_fasta_roundtrip(tmp_path):
+    p = tmp_path / "x.fasta"
+    recs = [
+        fasta.SeqRecord("seq1 first sequence", b"ACGTACGT"),
+        fasta.SeqRecord("seq2", b"MKVLAA"),
+    ]
+    fasta.write_fasta(p, recs)
+    back = fasta.read_fasta(p)
+    assert [(r.id, r.seq) for r in back] == [(r.id, r.seq) for r in recs]
+
+
+def test_fasta_truncate_ids(tmp_path):
+    p = tmp_path / "x.fasta"
+    fasta.write_fasta(p, [fasta.SeqRecord("seq1 rest of id", b"ACGT")])
+    back = fasta.read_fasta(p, truncate_ids=True)
+    assert back[0].id == "seq1"
+
+
+def test_fasta_multiline_and_gz(tmp_path):
+    p = tmp_path / "x.fasta.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(">a\nACGT\nACGT\n>b desc\nTTTT\n")
+    back = fasta.read_fasta(p)
+    assert back[0].seq == b"ACGTACGT"
+    assert back[1].id == "b desc"
+    assert fasta.count_seqs(p) == 2
+
+
+def test_fastq(tmp_path):
+    p = tmp_path / "x.fastq"
+    p.write_text("@r1\nACGT\n+\nIIII\n@r2\nGGTT\n+\nIIII\n")
+    back = fasta.read_fasta(p)
+    assert [(r.id, r.seq) for r in back] == [("r1", b"ACGT"), ("r2", b"GGTT")]
