@@ -1,0 +1,206 @@
+"""Command-line interface.
+
+Mirrors the reference's subcommand surface
+(``/root/reference/src/lambda.cpp:88-118``): searchp, searchn, searchbs,
+mkindexp, mkindexn, mkindexbs, with the reference's flag names
+(``/root/reference/src/search_options.hpp``,
+``/root/reference/src/mkindex_options.hpp``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import __version__, options as opt_mod
+from .options import Domain
+
+SUBCOMMANDS = ("searchp", "searchn", "searchbs", "mkindexp", "mkindexn", "mkindexbs")
+
+_DOMAIN_OF = {
+    "searchp": Domain.PROTEIN, "searchn": Domain.NUCLEOTIDE, "searchbs": Domain.BISULFITE,
+    "mkindexp": Domain.PROTEIN, "mkindexn": Domain.NUCLEOTIDE, "mkindexbs": Domain.BISULFITE,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    sub = next((a for a in argv if a in SUBCOMMANDS), None)
+    if sub is None:
+        print("lambda-tpu — the TPU-native Local Aligner for Massive Biological DatA\n"
+              f"version {__version__}\n\n"
+              "Usage: lambda-tpu [searchp|searchn|searchbs|"
+              "mkindexp|mkindexn|mkindexbs] [OPTIONS]",
+              file=sys.stderr)
+        return 1 if argv else 0
+    argv.remove(sub)
+    if sub.startswith("mkindex"):
+        return mkindex_main(sub, argv)
+    return search_main(sub, argv)
+
+
+def _myprint(verbosity: int, level: int, *msg) -> None:
+    if verbosity >= level:
+        print(*msg, sep="", flush=True)
+
+
+def mkindex_main(sub: str, argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog=f"lambda-tpu {sub}")
+    p.add_argument("-d", "--database", required=True)
+    p.add_argument("-i", "--index", default="")
+    p.add_argument("-m", "--acc-tax-map", default="")
+    p.add_argument("-x", "--tax-dump-dir", default="")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-v", "--verbosity", type=int, default=1, choices=(0, 1, 2))
+    p.add_argument("--truncate-ids", default="1", choices=("0", "1"))
+    p.add_argument("--db-index-type", default="kmer", choices=("kmer", "fm", "bifm"),
+                   help="fm/bifm are accepted for compatibility; the TPU "
+                        "index is always the sorted k-mer index")
+    if sub == "mkindexp":
+        p.add_argument("-a", "--input-alphabet", default="auto",
+                       choices=("auto", "dna5", "aminoacid"))
+        p.add_argument("-r", "--alphabet-reduction", default="li10",
+                       choices=("none", "murphy10", "li10"))
+    p.add_argument("--dump-json", default="", help="also write a JSON debug dump")
+    args = p.parse_args(argv)
+
+    from .index import artifact
+
+    opts = opt_mod.IndexerOptions(
+        db_file=args.database,
+        index_file=args.index or (args.database + ".lit"),
+        domain=_DOMAIN_OF[sub],
+        acc_to_tax_map_file=args.acc_tax_map,
+        tax_dump_dir=args.tax_dump_dir,
+        truncate_ids=args.truncate_ids == "1",
+        input_alphabet=getattr(args, "input_alphabet", "auto"),
+        alphabet_reduction=getattr(args, "alphabet_reduction", "li10"),
+        threads=args.threads,
+        verbosity=args.verbosity,
+    )
+
+    import os
+
+    if os.path.exists(opts.index_file):
+        print(f"ERROR: An output file already exists at {opts.index_file}\n"
+              "       Remove it, or choose a different location.", file=sys.stderr)
+        return 1
+
+    t0 = time.time()
+    vp = (lambda *a: _myprint(opts.verbosity, 2, *a))
+    _myprint(opts.verbosity, 1, "Building index...")
+    idx = artifact.build_index(opts, verbose_print=vp)
+    artifact.save_index(idx, opts.index_file)
+    if args.dump_json:
+        artifact.dump_json(idx, args.dump_json)
+    _myprint(opts.verbosity, 1, f"Index written to {opts.index_file}")
+    _myprint(opts.verbosity, 2, f"Runtime: {time.time()-t0:.2f}s")
+    return 0
+
+
+def search_main(sub: str, argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog=f"lambda-tpu {sub}")
+    p.add_argument("-q", "--query", required=True)
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-o", "--output", default="output.m8")
+    p.add_argument("--output-columns", default="std")
+    p.add_argument("--percent-identity", type=int, default=0)
+    p.add_argument("--bit-score", type=int, default=-1)
+    p.add_argument("-e", "--e-value", type=float, default=None)
+    p.add_argument("-n", "--num-matches", type=int, default=25)
+    p.add_argument("-p", "--profile", default="none",
+                   choices=("none", "fast", "sensitive", "pairs-default", "pairs-sensitive"))
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-v", "--verbosity", type=int, default=1, choices=(0, 1, 2))
+    p.add_argument("--adaptive-seeding", default="1", choices=("0", "1"))
+    p.add_argument("--seed-half-exact", default="1", choices=("0", "1"))
+    p.add_argument("--seed-length", type=int, default=None)
+    p.add_argument("--seed-offset", type=int, default=None)
+    p.add_argument("--seed-delta", type=int, default=None)
+    p.add_argument("--search0", default="1", choices=("0", "1", "ON", "OFF"))
+    p.add_argument("--seed-length0", type=int, default=None)
+    p.add_argument("--seed-offset0", type=int, default=None)
+    p.add_argument("--seed-delta0", type=int, default=None)
+    p.add_argument("--pre-scoring", type=int, default=None)
+    p.add_argument("--pre-scoring-threshold", type=float, default=None)
+    p.add_argument("-s", "--scoring-scheme", type=int, default=62, choices=(45, 62, 80))
+    p.add_argument("--score-match", type=int, default=2)
+    p.add_argument("--score-mismatch", type=int, default=-3)
+    p.add_argument("--score-gap", type=int, default=None)
+    p.add_argument("--score-gap-open", type=int, default=None)
+    p.add_argument("--sam-with-refheader", action="store_true")
+    p.add_argument("--sam-bam-seq", default="uniq", choices=("always", "uniq", "never"))
+    p.add_argument("--sam-bam-tags", default="AS NM ae ai qf")
+    p.add_argument("--sam-bam-clip", default="hard", choices=("hard", "soft"))
+    p.add_argument("--version-to-outputfile", default="1", choices=("0", "1"))
+    p.add_argument("--lazy-query", action="store_true")
+    p.add_argument("-a", "--input-alphabet", default="auto",
+                   choices=("auto", "dna5", "aminoacid"))
+    p.add_argument("--query-batch", type=int, default=64,
+                   help="device query batch size (TPU-specific)")
+    args = p.parse_args(argv)
+
+    domain = _DOMAIN_OF[sub]
+    opt = opt_mod.make_search_options(domain)
+    opt.command_line = f"lambda-tpu {sub} " + " ".join(argv)
+    opt.query_file = args.query
+    opt.index_file = args.index
+    opt.output = args.output
+    opt.columns = args.output_columns.split()
+    opt.id_cutoff = args.percent_identity
+    opt.min_bit_score = args.bit_score
+    if args.e_value is not None:
+        opt.max_e_value = args.e_value
+    opt.max_matches = args.num_matches
+    opt.threads = args.threads
+    opt.verbosity = args.verbosity
+    opt.adaptive_seeding = args.adaptive_seeding == "1"
+    opt.seed_half_exact = args.seed_half_exact == "1"
+    opt.iterative_search = args.search0 in ("1", "ON")
+    opt.scoring_method = args.scoring_scheme if domain == Domain.PROTEIN else 0
+    opt.match = args.score_match
+    opt.mismatch = args.score_mismatch
+    if args.score_gap is not None:
+        opt.gap_extend = args.score_gap
+    if args.score_gap_open is not None:
+        opt.gap_open = args.score_gap_open
+    for name, attr in (("seed_length", "seed_length"), ("seed_offset", "seed_offset"),
+                       ("seed_delta", "max_seed_dist")):
+        v = getattr(args, name)
+        if v is not None:
+            setattr(opt.search_opts, attr, v)
+    for name, attr in (("seed_length0", "seed_length"), ("seed_offset0", "seed_offset"),
+                       ("seed_delta0", "max_seed_dist")):
+        v = getattr(args, name)
+        if v is not None:
+            setattr(opt.search_opts0, attr, v)
+    if args.pre_scoring is not None:
+        opt.pre_scoring = args.pre_scoring
+    if args.pre_scoring_threshold is not None:
+        opt.pre_scoring_thresh = args.pre_scoring_threshold
+    opt.sam_with_ref_header = args.sam_with_refheader
+    opt.sam_bam_seq = args.sam_bam_seq
+    opt.sam_bam_tags = args.sam_bam_tags.split()
+    opt.sam_bam_hard_clip = args.sam_bam_clip == "hard"
+    opt.version_to_output_file = args.version_to_outputfile == "1"
+    opt.lazy_qry_file = args.lazy_query
+    opt.qry_orig_alphabet = args.input_alphabet
+    opt.query_batch_size = args.query_batch
+
+    # profiles overwrite manual flags (search_options.hpp:562-563)
+    opt_mod.apply_profile(opt, args.profile)
+    opt_mod.detect_output_format(opt)
+
+    from .search.pipeline import run_search
+
+    t0 = time.time()
+    stats = run_search(opt)
+    _myprint(opt.verbosity, 2, f"Runtime total: {time.time()-t0:.2f}s")
+    if opt.verbosity >= 1:
+        stats.print_report(opt)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
