@@ -1,0 +1,235 @@
+"""Smith-Waterman local alignment with affine gaps as batched anti-diagonal
+wavefront DP in XLA (device), plus host traceback.
+
+TPU-native replacement of the reference's hot kernel — SeqAn2's
+SIMD-batched `_prepareAndRunSimdAlignment`
+(``/root/reference/src/search_algo.hpp:1044-1134``): the reference packs
+8/16 alignments into SSE4/AVX2 int16 lanes and runs unbanded DP; here a
+whole batch of alignments advances one anti-diagonal per step, with the
+batch on the vector lanes and the diagonal on the sublane axis.  The same
+two-pass structure is kept: a score-only pass over all candidates
+(`sw_score_batch`), then a direction-emitting pass over survivors
+(`sw_align_batch`, search_algo.hpp:1246/1296) whose packed direction bits
+are walked on the host (`traceback`).
+
+Conventions (identical to the reference's scheme setup,
+search_algo.hpp:226-230):
+* ``gap_first``: score added for the FIRST char of a gap (open+extend)
+* ``gap_extend``: score added for every further gap char
+* free end gaps / local alignment: best cell anywhere, H floored at 0.
+
+Padding: callers pad q/s with the PAD rank (== alphabet size); the
+substitution matrix is extended so PAD scores NEG_SCORE against
+everything, which keeps padded regions at H == 0 without branching.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+NEG = -(2 ** 24)  # effectively -inf for int32 accumulation
+PAD_SCORE = -(2 ** 20)
+
+# direction encoding (2 bits H-source + 1 bit E-extend + 1 bit F-extend)
+H_STOP, H_DIAG, H_FROME, H_FROMF = 0, 1, 2, 3
+E_EXT_BIT, F_EXT_BIT = 4, 8
+
+
+def extend_matrix(subst: np.ndarray) -> np.ndarray:
+    """Add a PAD row/column scoring PAD_SCORE against everything."""
+    a = subst.shape[0]
+    out = np.full((a + 1, a + 1), PAD_SCORE, dtype=np.int32)
+    out[:a, :a] = subst
+    return out
+
+
+def _scan_core(q, s, subst_ext, gap_first, gap_extend, with_dirs: bool):
+    """q: (B, M) int32 (PAD-padded); s: (B, N) int32; subst_ext device array.
+
+    Returns (best, best_i, best_j[, dirs]) where best_i/best_j are 1-based
+    inclusive end coordinates of the best cell, and dirs is
+    (D, B, M+1) uint8 per-antidiagonal direction codes (d = 2..M+N).
+    """
+    B, M = q.shape
+    N = s.shape[1]
+    A1 = subst_ext.shape[0]
+
+    prof = subst_ext[q]  # (B, M, A1) profile: prof[b, i, c] = S(q_i, c)
+
+    i_idx = jnp.arange(M + 1, dtype=jnp.int32)  # DP row index (0..M)
+
+    def shift_down(x):
+        # x[:, i] -> x[:, i-1] (index 0 gets NEG)
+        return jnp.concatenate(
+            [jnp.full((B, 1), NEG, dtype=x.dtype), x[:, :-1]], axis=1)
+
+    def step(carry, d):
+        H1, H2, E1, F1, best, bi, bj = carry
+        # E(i, j) = max(E(i, j-1)+ge, H(i, j-1)+gf); (i, j-1) is diag d-1, idx i
+        E = jnp.maximum(E1 + gap_extend, H1 + gap_first)
+        # F(i, j) = max(F(i-1, j)+ge, H(i-1, j)+gf); (i-1, j) is diag d-1, idx i-1
+        F1s = shift_down(F1)
+        H1s = shift_down(H1)
+        F = jnp.maximum(F1s + gap_extend, H1s + gap_first)
+
+        # substitution score S(q_i, s_{d-i}) for i in 1..M
+        j_of_i = d - i_idx  # (M+1,)
+        s_col = jnp.take_along_axis(
+            s, jnp.clip(j_of_i[None, 1:] - 1, 0, N - 1), axis=1)  # (B, M)
+        sub = jnp.take_along_axis(
+            prof, s_col[:, :, None].astype(jnp.int32), axis=2)[:, :, 0]  # (B, M)
+        sub = jnp.concatenate([jnp.full((B, 1), NEG, jnp.int32), sub], axis=1)
+
+        H2s = shift_down(H2)
+        diag = H2s + sub
+
+        valid = (i_idx >= 1) & (i_idx <= M) & (j_of_i >= 1) & (j_of_i <= N)
+        E = jnp.where(valid[None, :], E, NEG)
+        F = jnp.where(valid[None, :], F, NEG)
+        diag = jnp.where(valid[None, :], diag, NEG)
+
+        H = jnp.maximum(jnp.maximum(diag, 0), jnp.maximum(E, F))
+        H = jnp.where(valid[None, :], H, 0)
+
+        # best-cell tracking: first maximum in (d, i) scan order
+        row_best_i = jnp.argmax(H, axis=1).astype(jnp.int32)  # first max
+        row_best = jnp.take_along_axis(H, row_best_i[:, None], axis=1)[:, 0]
+        upd = row_best > best
+        best = jnp.where(upd, row_best, best)
+        bi = jnp.where(upd, row_best_i, bi)
+        bj = jnp.where(upd, d - row_best_i, bj)
+
+        out = None
+        if with_dirs:
+            # H source priority on ties: diag > E > F (deterministic)
+            code = jnp.zeros((B, M + 1), dtype=jnp.uint8)
+            code = jnp.where((H > 0) & (H == F), jnp.uint8(H_FROMF), code)
+            code = jnp.where((H > 0) & (H == E), jnp.uint8(H_FROME), code)
+            code = jnp.where((H > 0) & (H == diag), jnp.uint8(H_DIAG), code)
+            e_ext = (E1 + gap_extend) >= (H1 + gap_first)
+            f_ext = (F1s + gap_extend) >= (H1s + gap_first)
+            code = code | jnp.where(e_ext, jnp.uint8(E_EXT_BIT), jnp.uint8(0))
+            code = code | jnp.where(f_ext, jnp.uint8(F_EXT_BIT), jnp.uint8(0))
+            out = code
+
+        return (H, H1, E, F, best, bi, bj), out
+
+    H0 = jnp.zeros((B, M + 1), dtype=jnp.int32)
+    E0 = jnp.full((B, M + 1), NEG, dtype=jnp.int32)
+    init = (H0, H0, E0, E0,
+            jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
+
+    ds = jnp.arange(2, M + N + 1, dtype=jnp.int32)
+    carry, dirs = jax.lax.scan(step, init, ds)
+    _, _, _, _, best, bi, bj = carry
+    if with_dirs:
+        return best, bi, bj, dirs
+    return best, bi, bj
+
+
+@functools.partial(jax.jit, static_argnames=())
+def sw_score_batch(q, s, subst_ext, gap_first, gap_extend):
+    """Score-only pass.  Returns (best, best_i, best_j); best_i/best_j are
+    1-based inclusive coordinates of the optimum cell."""
+    return _scan_core(q, s, subst_ext, gap_first, gap_extend, with_dirs=False)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def sw_align_batch(q, s, subst_ext, gap_first, gap_extend):
+    """Direction-emitting pass for traceback."""
+    return _scan_core(q, s, subst_ext, gap_first, gap_extend, with_dirs=True)
+
+
+def traceback(dirs: np.ndarray, b: int, bi: int, bj: int, M: int):
+    """Walk packed directions for alignment ``b`` from 1-based end cell
+    (bi, bj) back to the local start.
+
+    dirs: (D, B, M+1) uint8 from sw_align_batch (host numpy).
+    Returns (q_start0, s_start0, ops) where ops is a list of
+    ('M'|'D'|'I', run_length) from alignment start to end.
+    'D' consumes subject only (gap in query row), 'I' consumes query only —
+    matching the reference's CIGAR orientation (search_output.hpp:146-177).
+    """
+    i, j = bi, bj
+    ops: list[str] = []
+    state = "H"
+    while True:
+        code = int(dirs[i + j - 2, b, i]) if (i + j) >= 2 else 0
+        if state == "H":
+            h = code & 3
+            if h == H_STOP or i <= 0 or j <= 0:
+                break
+            if h == H_DIAG:
+                ops.append("M")
+                i -= 1
+                j -= 1
+            elif h == H_FROME:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            ops.append("D")
+            ext = bool(code & E_EXT_BIT)
+            j -= 1
+            state = "E" if ext else "H"
+        else:  # F
+            ops.append("I")
+            ext = bool(code & F_EXT_BIT)
+            i -= 1
+            state = "F" if ext else "H"
+
+    ops.reverse()
+    # run-length encode
+    rle: list[tuple[str, int]] = []
+    for op in ops:
+        if rle and rle[-1][0] == op:
+            rle[-1] = (op, rle[-1][1] + 1)
+        else:
+            rle.append((op, 1))
+    return i, j, rle
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation for tests (slow, exact)
+# ---------------------------------------------------------------------------
+
+
+def sw_reference(q: np.ndarray, s: np.ndarray, subst: np.ndarray,
+                 gap_first: int, gap_extend: int) -> int:
+    """Naive O(MN) local affine SW, returns the optimal score."""
+    M, N = len(q), len(s)
+    H = np.zeros((M + 1, N + 1), dtype=np.int64)
+    E = np.full((M + 1, N + 1), NEG, dtype=np.int64)
+    F = np.full((M + 1, N + 1), NEG, dtype=np.int64)
+    best = 0
+    for i in range(1, M + 1):
+        for j in range(1, N + 1):
+            E[i, j] = max(E[i, j - 1] + gap_extend, H[i, j - 1] + gap_first)
+            F[i, j] = max(F[i - 1, j] + gap_extend, H[i - 1, j] + gap_first)
+            H[i, j] = max(0, H[i - 1, j - 1] + subst[q[i - 1], s[j - 1]],
+                          E[i, j], F[i, j])
+            best = max(best, H[i, j])
+    return int(best)
+
+
+def score_of_ops(q, s, q0, s0, ops, subst, gap_first, gap_extend) -> int:
+    """Recompute an alignment's score from its ops (self-check)."""
+    score = 0
+    i, j = q0, s0
+    for op, run in ops:
+        if op == "M":
+            for _ in range(run):
+                score += int(subst[q[i], s[j]])
+                i += 1
+                j += 1
+        elif op == "D":
+            score += gap_first + (run - 1) * gap_extend
+            j += run
+        else:
+            score += gap_first + (run - 1) * gap_extend
+            i += run
+    return score

@@ -1,0 +1,204 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lambda_tpu import frames as fr
+from lambda_tpu.index import build as ib
+from lambda_tpu.ops import kmer, searchsorted as ss, sw_xla
+
+
+# ---------------------------------------------------------------------------
+# searchsorted + kmer packing against the index
+# ---------------------------------------------------------------------------
+
+
+def _make_index(seed=0, alph=4, sizes=(60, 40, 80)):
+    rng = np.random.default_rng(seed)
+    seqs = [rng.integers(0, alph, size=n).astype(np.uint8) for n in sizes]
+    concat, offsets, _ = fr.concat_frames(seqs)
+    return seqs, concat, offsets, ib.build_kmer_index(concat, offsets, alph)
+
+
+def _brute_occurrences(seqs, offsets, pat):
+    out = []
+    for f, s in enumerate(seqs):
+        for i in range(len(s) - len(pat) + 1):
+            if (s[i : i + len(pat)] == pat).all():
+                out.append(int(offsets[f]) + i)
+    return out
+
+
+def test_device_search_matches_bruteforce():
+    seqs, concat, offsets, idx = _make_index()
+    k = 8
+    # take a handful of patterns that exist plus one that doesn't
+    pats = [concat[5 : 5 + k], concat[70 : 70 + k], concat[130 : 130 + k],
+            np.array([0] * k, dtype=np.uint8),
+            np.array([3, 3, 0, 1, 2, 3, 0, 1], dtype=np.uint8)]
+    chars = jnp.asarray(np.stack(pats).astype(np.int32))
+    lengths = jnp.full((len(pats),), k, jnp.int32)
+    cpw = idx.chars_per_word
+    targets = kmer.pack_prefix(chars, lengths, idx.bits, cpw, idx.words)
+    masks = ss.length_masks(lengths, idx.bits, cpw, idx.words)
+    keys = jnp.asarray(idx.keys)
+    n = len(idx.pos)
+    lo, hi = ss.search_range(keys, targets, masks,
+                             jnp.zeros(len(pats), jnp.int32),
+                             jnp.full((len(pats),), n, jnp.int32),
+                             ss.steps_for(n))
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    for p in range(len(pats)):
+        expect = sorted(_brute_occurrences(seqs, offsets, pats[p]))
+        got = sorted(int(idx.pos[i]) for i in range(lo[p], hi[p]))
+        assert got == expect, f"pattern {p}"
+
+
+def test_pack_prefix_matches_index_keys():
+    seqs, concat, offsets, idx = _make_index(seed=3)
+    # key of position p with full capacity must equal index-built key
+    cap = idx.capacity
+    p = 7
+    window = np.zeros(cap, dtype=np.int32)
+    ln = min(int(offsets[1]) - p, cap)
+    window[:ln] = concat[p : p + ln]
+    t = kmer.pack_prefix(jnp.asarray(window[None, :]),
+                         jnp.asarray([ln], dtype=jnp.int32),
+                         idx.bits, idx.chars_per_word, idx.words)
+    row = np.where(idx.pos == p)[0][0]
+    assert (np.asarray(t)[0] == idx.keys[row]).all()
+
+
+def test_append_char_equals_longer_prefix():
+    bits, cpw, words = 4, 8, 4
+    chars = jnp.asarray([[1, 2, 3, 0, 1, 2, 3, 0, 1, 2]], dtype=jnp.int32)
+    t9 = kmer.pack_prefix(chars, jnp.asarray([9]), bits, cpw, words)
+    t10 = kmer.pack_prefix(chars, jnp.asarray([10]), bits, cpw, words)
+    t9e = kmer.append_char(t9, jnp.asarray([9]), chars[:, 9], bits, cpw, words)
+    assert (np.asarray(t9e) == np.asarray(t10)).all()
+
+
+def test_variant_table_half_exact():
+    pos, rep = kmer.variant_table(k=8, delta=1, alphabet_size=4, half_exact=True)
+    # identity + positions 4..7 x 4 letters
+    assert len(pos) == 1 + 4 * 4
+    assert pos[0] == -1
+    assert set(pos[1:]) == {4, 5, 6, 7}
+    seeds = jnp.asarray([[0, 1, 2, 3, 0, 1, 2, 3]], dtype=jnp.int32)
+    variants, valid = kmer.make_variants(seeds, pos, rep)
+    assert variants.shape == (1, 17, 8)
+    v = np.asarray(valid)[0]
+    # 4 variants (one per position) collide with the original char
+    assert v[0] and v.sum() == 17 - 4
+    # every valid non-identity variant differs in exactly one 2nd-half pos
+    vr = np.asarray(variants)[0]
+    sd = np.asarray(seeds)[0]
+    for i in range(1, 17):
+        diff = (vr[i] != sd).nonzero()[0]
+        if v[i]:
+            assert len(diff) == 1 and diff[0] >= 4
+        else:
+            assert len(diff) == 0
+
+
+def test_variant_delta0_and_unsupported():
+    pos, rep = kmer.variant_table(5, 0, 4, True)
+    assert list(pos) == [-1]
+    with pytest.raises(NotImplementedError):
+        kmer.variant_table(5, 2, 4, True)
+
+
+# ---------------------------------------------------------------------------
+# Smith-Waterman
+# ---------------------------------------------------------------------------
+
+
+def _random_case(rng, alph, M, N):
+    subst = rng.integers(-3, 3, size=(alph, alph)).astype(np.int32)
+    # make diagonal favorable so local alignments exist
+    np.fill_diagonal(subst, rng.integers(2, 6, size=alph))
+    q = rng.integers(0, alph, size=M).astype(np.int32)
+    s = rng.integers(0, alph, size=N).astype(np.int32)
+    return q, s, subst
+
+
+def test_sw_score_matches_reference_random():
+    rng = np.random.default_rng(42)
+    alph = 5
+    cases = [_random_case(rng, alph, rng.integers(5, 40), rng.integers(5, 50))
+             for _ in range(12)]
+    gf, ge = -7, -2
+    Mmax = max(len(q) for q, _, _ in cases)
+    Nmax = max(len(s) for _, s, _ in cases)
+    subst = cases[0][2]
+    ext = sw_xla.extend_matrix(subst)
+    qb = np.full((len(cases), Mmax), alph, dtype=np.int32)
+    sb = np.full((len(cases), Nmax), alph, dtype=np.int32)
+    for i, (q, s, _) in enumerate(cases):
+        qb[i, : len(q)] = q
+        sb[i, : len(s)] = s
+    best, bi, bj = sw_xla.sw_score_batch(
+        jnp.asarray(qb), jnp.asarray(sb), jnp.asarray(ext), gf, ge)
+    best = np.asarray(best)
+    for i, (q, s, _) in enumerate(cases):
+        expect = sw_xla.sw_reference(q, s, subst, gf, ge)
+        assert best[i] == expect, f"case {i}"
+
+
+def test_sw_align_traceback_score_consistent():
+    rng = np.random.default_rng(7)
+    alph = 4
+    gf, ge = -5, -2
+    B, M, N = 6, 24, 30
+    subst = rng.integers(-4, 2, size=(alph, alph)).astype(np.int32)
+    np.fill_diagonal(subst, 3)
+    ext = sw_xla.extend_matrix(subst)
+    qb = rng.integers(0, alph, size=(B, M)).astype(np.int32)
+    sb = rng.integers(0, alph, size=(B, N)).astype(np.int32)
+    best, bi, bj, dirs = sw_xla.sw_align_batch(
+        jnp.asarray(qb), jnp.asarray(sb), jnp.asarray(ext), gf, ge)
+    best, bi, bj = map(np.asarray, (best, bi, bj))
+    dirs = np.asarray(dirs)
+    for b in range(B):
+        if best[b] == 0:
+            continue
+        q0, s0, ops = sw_xla.traceback(dirs, b, int(bi[b]), int(bj[b]), M)
+        score = sw_xla.score_of_ops(qb[b], sb[b], q0, s0, ops, subst, gf, ge)
+        assert score == best[b], f"alignment {b}: {ops}"
+        # end coordinates consistent with consumed ops
+        qlen = sum(r for op, r in ops if op in ("M", "I"))
+        slen = sum(r for op, r in ops if op in ("M", "D"))
+        assert q0 + qlen == bi[b] and s0 + slen == bj[b]
+        # reference score equality
+        assert best[b] == sw_xla.sw_reference(qb[b], sb[b], subst, gf, ge)
+
+
+def test_sw_known_alignment():
+    # identical sequences: perfect diagonal
+    q = np.array([0, 1, 2, 3, 0, 1, 2, 3], dtype=np.int32)
+    subst = np.full((4, 4), -3, dtype=np.int32)
+    np.fill_diagonal(subst, 2)
+    ext = sw_xla.extend_matrix(subst)
+    best, bi, bj, dirs = sw_xla.sw_align_batch(
+        jnp.asarray(q[None]), jnp.asarray(q[None]), jnp.asarray(ext), -7, -2)
+    assert int(best[0]) == 16
+    q0, s0, ops = sw_xla.traceback(np.asarray(dirs), 0, int(bi[0]), int(bj[0]), 8)
+    assert (q0, s0) == (0, 0)
+    assert ops == [("M", 8)]
+
+
+def test_sw_gap_alignment():
+    # q = ACGTACGT, s = ACGTTTACGT -> expect a 2-base gap in query (D ops)
+    q = np.array([0, 1, 2, 3, 0, 1, 2, 3], dtype=np.int32)
+    s = np.array([0, 1, 2, 3, 3, 3, 0, 1, 2, 3], dtype=np.int32)
+    subst = np.full((4, 4), -3, dtype=np.int32)
+    np.fill_diagonal(subst, 2)
+    ext = sw_xla.extend_matrix(subst)
+    gf, ge = -4, -1
+    best, bi, bj, dirs = sw_xla.sw_align_batch(
+        jnp.asarray(q[None]), jnp.asarray(s[None]), jnp.asarray(ext), gf, ge)
+    # 8 matches (16) - gap of 2 (4+1) = 11
+    assert int(best[0]) == 11
+    q0, s0, ops = sw_xla.traceback(np.asarray(dirs), 0, int(bi[0]), int(bj[0]), 8)
+    assert sum(r for op, r in ops if op == "D") == 2
+    assert sw_xla.score_of_ops(q, s, q0, s0, ops, subst, gf, ge) == 11
