@@ -1,0 +1,421 @@
+"""Search pipeline driver.
+
+Equivalent of the reference's search ``realMain`` + per-batch loop
+(``/root/reference/src/search.cpp:340-477``) and ``iterateMatches*``
+(``/root/reference/src/search_algo.hpp:1178-1385``):
+
+host                                      device
+----                                      ------
+load index, queries                       k-mer index arrays in HBM
+frame generation + seed schedule    ->    stage1: seed search + adaptive
+                                          elongation (scan over seed slots)
+cursor compaction                   ->    stage2: flat locate + ungapped
+                                          prescore
+widen/merge matches (numpy)         ->    pass 1: batched wavefront SW
+bit-score/e-value filters                 (score only)
+                                    ->    pass 2: SW with direction bits
+traceback walk, alignment stats,
+%id filter, record sort/dedup/LCA,
+m8/m9 writing
+
+The two-phase iterative search (search0; search_algo.hpp:1391-1460) runs
+per batch: phase 1 with cheap seeds, successful queries are written,
+survivors re-searched with full sensitivity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import __version__, alphabets as ab
+from .. import frames as fr
+from .. import options as opt_mod
+from .. import scoring, statistics
+from ..index import artifact
+from ..io import fasta
+from ..ops import sw_xla
+from ..output import blast_tab
+from ..stats import StatsHolder
+from . import extend, records, seeding
+
+
+class SearchContext:
+    """Everything that is fixed for a whole run."""
+
+    def __init__(self, opt: opt_mod.LambdaOptions):
+        self.opt = opt
+        self.idx = artifact.load_index(opt.index_file)
+        idx = self.idx
+
+        # --- domain/index compatibility checks (search.cpp:189-207)
+        dom = opt.domain
+        if dom == opt_mod.Domain.PROTEIN and idx.trans_alph != ab.AMINO_ACID:
+            raise RuntimeError("ERROR: protein search requires a protein index "
+                               "(created by mkindexp).")
+        if dom == opt_mod.Domain.NUCLEOTIDE and idx.red_alph != ab.DNA4:
+            raise RuntimeError("ERROR: nucleotide search requires a nucleotide "
+                               "index (created by mkindexn).")
+        if dom == opt_mod.Domain.BISULFITE and idx.red_alph != ab.DNA3BS:
+            raise RuntimeError("ERROR: bisulfite search requires a bisulfite "
+                               "index (created by mkindexbs).")
+
+        # --- query alphabet (search.cpp:210-217)
+        qalph = opt.qry_orig_alphabet
+        if dom != opt_mod.Domain.PROTEIN:
+            qalph = ab.DNA5
+        elif qalph in ("auto", "dna5"):
+            first = next(fasta.iter_seqs(opt.query_file), None)
+            if first is None:
+                raise RuntimeError("ERROR: Query file is empty.")
+            qalph = artifact.detect_alphabet(first.seq) \
+                if opt.qry_orig_alphabet == "auto" else ab.DNA5
+        else:
+            qalph = ab.AMINO_ACID
+        self.qry_orig_alph = qalph
+
+        self.program = opt_mod.blast_program(idx.trans_alph, qalph, idx.orig_alph)
+        self.qry_num_frames = opt_mod.qry_num_frames(self.program, idx.red_alph)
+        self.sbj_num_frames = opt_mod.sbj_num_frames(self.program, idx.red_alph)
+        self.bs_mode = idx.red_alph == ab.DNA3BS
+
+        # --- scoring (prepareScoring, search_algo.hpp:161-234)
+        if idx.trans_alph == ab.AMINO_ACID:
+            self.align_fwd = scoring.make_protein_scheme(
+                opt.scoring_method, opt.gap_open, opt.gap_extend)
+            self.align_rev = self.align_fwd
+            stats_kind = f"blosum{opt.scoring_method}"
+        elif self.bs_mode:
+            self.align_fwd = scoring.make_bisulfite_scheme(
+                opt.match, opt.mismatch, opt.gap_open, opt.gap_extend, "fwd")
+            self.align_rev = scoring.make_bisulfite_scheme(
+                opt.match, opt.mismatch, opt.gap_open, opt.gap_extend, "rev")
+            stats_kind = "simple"
+        else:
+            self.align_fwd = scoring.make_nucleotide_scheme(
+                opt.match, opt.mismatch, opt.gap_open, opt.gap_extend)
+            self.align_rev = self.align_fwd
+            stats_kind = "simple"
+
+        # Karlin-Altschul validity check (throws like the reference)
+        self.ka_params = statistics.get_ka_params(
+            stats_kind, opt.gap_open, opt.gap_extend,
+            match=opt.match, mismatch=opt.mismatch)
+        self.evaluer = statistics.EValuer(
+            self.ka_params, idx.db_total_length, self.program.q_translated)
+
+        # --- device-resident index
+        self.d_keys = jnp.asarray(idx.kmer.keys)
+        self.d_pos = jnp.asarray(idx.kmer.pos.astype(np.int32))
+        self.d_frame = jnp.asarray(idx.kmer.frame.astype(np.int32))
+        self.d_sbj_offsets = jnp.asarray(idx.trans_offsets[:-1].astype(np.int32))
+        self.d_sbj_lens = jnp.asarray(idx.trans_lengths.astype(np.int32))
+        self.d_trans_sbj = jnp.asarray(idx.trans_concat.astype(np.int8))
+
+        # prescore matrices over trans alphabet
+        self.d_sub_fwd = jnp.asarray(self.align_fwd.matrix.astype(np.int32))
+        self.d_sub_rev = jnp.asarray(self.align_rev.matrix.astype(np.int32))
+
+        # SW padded matrices
+        self.sw_fwd = sw_xla.extend_matrix(self.align_fwd.matrix)
+        self.sw_rev = sw_xla.extend_matrix(self.align_rev.matrix)
+
+        self.s_windows = extend.SubjectWindows(idx.trans_concat, idx.trans_offsets)
+
+        # original subject lengths (for slen output column)
+        self.s_orig_lens = np.array([len(s) for s in idx.seqs], dtype=np.int64)
+        self.trans_lens = idx.trans_lengths.astype(np.int64)
+
+        self.unknown_rank = (ab.AA27_CHAR_TO_RANK[ord("X")]
+                             if idx.trans_alph == ab.AMINO_ACID else 4)
+
+        self._seeders: dict = {}
+
+    def seeder_for(self, so: opt_mod.SearchOpts):
+        key = (so.seed_length, so.seed_offset, so.max_seed_dist)
+        if key not in self._seeders:
+            cfg = seeding.SeedConfig(
+                seed_length=so.seed_length,
+                seed_offset=so.seed_offset,
+                max_seed_dist=so.max_seed_dist,
+                half_exact=self.opt.seed_half_exact,
+                adaptive=self.opt.adaptive_seeding,
+                max_matches=int(self.opt.max_matches),
+                pre_scoring=self.opt.pre_scoring,
+                pre_scoring_thresh=self.opt.pre_scoring_thresh,
+                alphabet_size=ab.ALPHABET_SIZES[self.idx.red_alph],
+                bits=self.idx.kmer.bits,
+                cpw=self.idx.kmer.chars_per_word,
+                words=self.idx.kmer.words,
+                n_rows=self.idx.kmer.num_positions,
+                max_hits=self.opt.max_hits_per_query_frame * 8,
+            )
+            self._seeders[key] = (cfg, seeding.make_seeder(cfg))
+        return self._seeders[key]
+
+    # -----------------------------------------------------------------
+    # per-batch processing (one phase)
+    # -----------------------------------------------------------------
+
+    def process_batch(self, qry_seqs: list[np.ndarray], so: opt_mod.SearchOpts,
+                      stats: StatsHolder):
+        """Run seeding+extension for a batch of ORIGINAL queries with the
+        given phase options.  Returns dict: local query idx -> [BlastMatch]."""
+        idx, opt = self.idx, self.opt
+        F = self.qry_num_frames
+        cfg, (stage1, stage2) = self.seeder_for(so)
+
+        # pad the query list to a bucketed count so jit shapes are reused
+        n_real = len(qry_seqs)
+        Q = extend._bucket(max(n_real, 1))
+        qry_seqs = list(qry_seqs) + [np.zeros(0, np.uint8)] * (Q - n_real)
+
+        trans = fr.query_trans_frames(qry_seqs, self.qry_orig_alph,
+                                      idx.trans_alph, idx.red_alph,
+                                      opt.genetic_code)
+        red = fr.reduce_frames(trans, idx.trans_alph, idx.red_alph)
+        G = len(trans)
+
+        slot_frame, slot_begin, slot_rem, T = seeding.compute_seed_slots(
+            trans, F, self.unknown_rank, cfg)
+        # bucket the slot count as well
+        Tb = extend._bucket(T)
+        pad_t = Tb - T
+        if pad_t:
+            slot_frame = np.pad(slot_frame, ((0, 0), (0, pad_t)),
+                                constant_values=-1)
+            slot_begin = np.pad(slot_begin, ((0, 0), (0, pad_t)))
+            slot_rem = np.pad(slot_rem, ((0, 0), (0, pad_t)),
+                              constant_values=1)
+
+        Lmax = extend._bucket(
+            max(max((len(f) for f in trans), default=1), cfg.seed_length + 1))
+        red_q = np.zeros((G, Lmax), dtype=np.int32)
+        trans_q = np.zeros((G, Lmax), dtype=np.int32)
+        qlens = np.zeros(G, dtype=np.int32)
+        for g, (tf, rf) in enumerate(zip(trans, red)):
+            qlens[g] = len(tf)
+            trans_q[g, : len(tf)] = tf
+            red_q[g, : len(rf)] = rf
+        d_red_q = jnp.asarray(red_q)
+        d_trans_q = jnp.asarray(trans_q)
+        d_qlens = jnp.asarray(qlens)
+
+        res1 = stage1(self.d_keys, d_red_q, d_qlens,
+                      jnp.asarray(slot_frame), jnp.asarray(slot_begin),
+                      jnp.asarray(slot_rem), jnp.zeros(Q, jnp.int32))
+        cur = {k: np.asarray(v) for k, v in res1.items()}
+
+        # compact cursors (host)
+        mask = cur["count"] > 0
+        flat = {k: v[mask] for k, v in cur.items()}
+        C = cfg.max_cursors
+        ncur = len(flat["count"])
+        if ncur > C:
+            stats.cursors_overflow += ncur - C
+            flat = {k: v[:C] for k, v in flat.items()}
+            ncur = C
+        if ncur == 0:
+            return {}
+
+        def padded(a, fill=0):
+            out = np.full(C, fill, dtype=np.int32)
+            out[:ncur] = a
+            return jnp.asarray(out)
+
+        res2 = stage2(self.d_pos, self.d_frame, self.d_sbj_offsets,
+                      self.d_sbj_lens, self.d_trans_sbj, d_trans_q, d_qlens,
+                      padded(flat["lo"]), padded(flat["count"]),
+                      padded(flat["seed_len"]), padded(flat["frame"]),
+                      padded(flat["begin"]),
+                      self.d_sub_fwd, self.d_sub_rev)
+        hits = {k: np.asarray(v) for k, v in res2.items() if k != "stats"}
+        st2 = {k: int(v) for k, v in res2["stats"].items()}
+        stats.hits_after_seeding += st2["hits_located"]
+        stats.hits_failed_pre_extend += st2["failed_prescore"]
+        stats.hits_overflow += st2["hits_overflow"]
+
+        sel = hits["valid"] & hits["passed"]
+        if not sel.any():
+            return {}
+        m = extend.MatchBatch(
+            qry_id=hits["q_frame"][sel].astype(np.int64),
+            subj_id=hits["s_frame"][sel].astype(np.int64),
+            qry_start=hits["q_begin"][sel].astype(np.int64),
+            qry_end=(hits["q_begin"][sel] + hits["seed_len"][sel]).astype(np.int64),
+            subj_start=hits["s_off"][sel].astype(np.int64),
+            subj_end=(hits["s_off"][sel] + hits["seed_len"][sel]).astype(np.int64),
+        )
+
+        # widen + merge (search_algo.hpp:1136-1175)
+        q_frame_lens = qlens.astype(np.int64)
+        m = extend.widen_and_merge(m, q_frame_lens, self.trans_lens, stats)
+        if len(m) == 0:
+            return {}
+
+        # --- pass 1: score only
+        gf = self.align_fwd.dp_gap_first
+        ge = self.align_fwd.dp_gap_extend
+        scores, _ = extend._run_bucketed(
+            m, trans, self.s_windows, self.sw_fwd, self.sw_rev, gf, ge,
+            self.bs_mode, with_trace=False)
+
+        # --- bit-score / e-value filters (search_algo.hpp:1252-1283)
+        orig_qlens = np.array([len(s) for s in qry_seqs], dtype=np.int64)
+        keep = np.ones(len(m), dtype=bool)
+        bit_scores = np.array([self.evaluer.bit_score(int(s)) for s in scores])
+        e_values = np.zeros(len(m))
+        for i in range(len(m)):
+            ql = int(orig_qlens[m.qry_id[i] // F])
+            if opt.min_bit_score >= 0 and bit_scores[i] < opt.min_bit_score:
+                keep[i] = False
+                stats.hits_failed_bit_score += 1
+                continue
+            if opt.max_e_value >= 0:
+                e_values[i] = self.evaluer.e_value(int(scores[i]), ql)
+                if e_values[i] > opt.max_e_value:
+                    keep[i] = False
+                    stats.hits_failed_e_value += 1
+        idxs = np.nonzero(keep)[0]
+        if len(idxs) == 0:
+            return {}
+        m2 = m.take(idxs)
+        scores2 = scores[idxs]
+
+        # --- pass 2: traceback
+        scores2b, traces = extend._run_bucketed(
+            m2, trans, self.s_windows, self.sw_fwd, self.sw_rev, gf, ge,
+            self.bs_mode, with_trace=True)
+
+        out: dict[int, list[records.BlastMatch]] = {}
+        for i in range(len(m2)):
+            if traces[i] is None:
+                continue
+            q0, s0, ops = traces[i]
+            qry_id = int(m2.qry_id[i])
+            subj_id = int(m2.subj_id[i])
+            n_q = qry_id // F
+            n_s = subj_id // self.sbj_num_frames
+            qfs, sfs = records.set_frames(qry_id, subj_id, self.program,
+                                          idx.red_alph, F, self.sbj_num_frames)
+            consumed_q = sum(r for op, r in ops if op in ("M", "I"))
+            consumed_s = sum(r for op, r in ops if op in ("M", "D"))
+            bm = records.BlastMatch(
+                n_q_id=n_q,
+                n_s_id=n_s,
+                q_frame_shift=qfs,
+                s_frame_shift=sfs,
+                q_length=int(orig_qlens[n_q]),
+                s_length=int(self.s_orig_lens[n_s]),
+                q_start=int(m2.qry_start[i]) + q0,
+                q_end=int(m2.qry_start[i]) + q0 + consumed_q,
+                s_start=int(m2.subj_start[i]) + s0,
+                s_end=int(m2.subj_start[i]) + s0 + consumed_s,
+                raw_score=int(scores2b[i]),
+                ops=ops,
+                qry_frame_id=qry_id,
+                subj_frame_id=subj_id,
+            )
+            use_rev = self.bs_mode and subj_id % 2 == 1
+            sch = self.align_rev if use_rev else self.align_fwd
+            records.compute_alignment_stats(
+                bm, trans[qry_id],
+                self.s_windows.concat[
+                    self.idx.trans_offsets[subj_id]:
+                    self.idx.trans_offsets[subj_id + 1]],
+                sch.matrix, gf, ge, self.bs_mode)
+
+            # %identity filter (search_algo.hpp:1310-1315)
+            if bm.identity < opt.id_cutoff:
+                stats.hits_failed_percent_ident += 1
+                continue
+
+            bm.bit_score = self.evaluer.bit_score(bm.raw_score)
+            bm.e_value = self.evaluer.e_value(bm.raw_score, bm.q_length)
+            if opt.has_s_tax_ids and idx.s_tax_ids:
+                bm.s_tax_ids = idx.s_tax_ids[n_s]
+            out.setdefault(n_q, []).append(bm)
+        return out
+
+
+def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
+    ctx = SearchContext(opt)
+    idx = ctx.idx
+    stats = StatsHolder()
+
+    if opt.has_s_tax_ids and not idx.has_s_tax_ids:
+        raise RuntimeError(
+            "You requested printing of taxonomic IDs and/or taxonomic binning, "
+            "but the index does not contain taxonomic information.")
+    if opt.compute_lca and not idx.has_tax_tree:
+        raise RuntimeError(
+            "You requested taxonomic binning, but the index does not contain "
+            "a taxonomic tree.")
+
+    # output writer
+    program_upper = ctx.program.value.upper()
+    version_string = f"{program_upper} 2.2.26+"
+    if opt.version_to_output_file:
+        version_string += (f" [created by LAMBDA-TPU-{__version__}, see "
+                           "https://github.com/seqan/lambda for the original]")
+    if opt.out_file_format == 0:
+        writer = blast_tab.BlastTabWriter(
+            opt.output, opt.columns, opt.blast_tabular_with_comments,
+            program_upper, version_string, opt.index_file)
+    else:
+        raise NotImplementedError(
+            "m0/SAM/BAM output lands in a later milestone; use .m8/.m9")
+    writer.write_header()
+
+    def write_query_records(q_global_id: str, matches: list):
+        matches = records.sort_dedup_cutoff(matches, opt.max_matches, stats)
+        if not matches:
+            return
+        stats.qrys_with_hit += 1
+        stats.pairs += len({m.n_s_id for m in matches})
+        lca_id, lca_name = "", 0
+        if opt.compute_lca:
+            lca_tax, lca_name_s = records.record_lca(
+                matches, idx.s_tax_ids, idx.taxon_parents, idx.taxon_heights,
+                idx.taxon_names)
+            lca_id, lca_name = lca_name_s, lca_tax
+        fields = [blast_tab.fields_for_match(
+            bm, q_global_id, idx.ids[bm.n_s_id], ctx.program,
+            lca_id=lca_id, lca_tax_id=lca_name) for bm in matches]
+        writer.write_record(q_global_id, fields)
+
+    # query stream in batches
+    batch_ids: list[str] = []
+    batch_seqs: list[np.ndarray] = []
+
+    def flush_batch():
+        if not batch_seqs:
+            return
+        # phase 1 (cheap seeds) if iterative, else single full pass
+        if opt.iterative_search:
+            res1 = ctx.process_batch(batch_seqs, opt.search_opts0, stats)
+            successful = set(q for q, ms in res1.items() if ms)
+            for q in sorted(successful):
+                write_query_records(batch_ids[q], res1[q])
+            remaining = [q for q in range(len(batch_seqs)) if q not in successful]
+            if remaining:
+                res2 = ctx.process_batch([batch_seqs[q] for q in remaining],
+                                         opt.search_opts, stats)
+                for qi, ms in sorted(res2.items()):
+                    write_query_records(batch_ids[remaining[qi]], ms)
+        else:
+            res = ctx.process_batch(batch_seqs, opt.search_opts, stats)
+            for q, ms in sorted(res.items()):
+                write_query_records(batch_ids[q], ms)
+        batch_ids.clear()
+        batch_seqs.clear()
+
+    for rec in fasta.iter_seqs(opt.query_file):
+        batch_ids.append(rec.id)
+        batch_seqs.append(ab.encode(rec.seq, ctx.qry_orig_alph))
+        if len(batch_seqs) >= opt.query_batch_size:
+            flush_batch()
+    flush_batch()
+
+    writer.write_footer()
+    return stats

@@ -1,0 +1,337 @@
+"""Device seeding engine.
+
+Port of the reference seeding loop (``/root/reference/src/search_algo.hpp``
+``search()`` :607-762, ``search_impl`` :484-535, ``searchHalfExactImpl``
+:537-604) onto the sorted k-mer index:
+
+* stage 1 (`scan over seed slots`): for every query the seeds are visited
+  in the reference's order (frames in order, positions every seedOffset
+  with the X/homopolymer skip rule precomputed on host).  Each slot
+  searches all seed variants (exact/half-exact enumeration), applies
+  adaptive elongation (cursor extendRight while count >= desiredOccs,
+  :679-726) and the abundance cutoff (:729), and emits surviving cursors.
+  The ``hitsThisSeq`` feedback that drives ``desiredOccs`` is carried
+  through the scan — one deliberate deviation: we count *located* hits
+  rather than prescore-passing hits (the reference increments after
+  seedLooksPromising), which decouples the expensive prescore from the
+  sequential scan.  This only modulates the elongation heuristic.
+
+* stage 2 (`flat locate + prescore`): all cursors of the batch are
+  expanded into a dense hit list (ragged-to-flat via binary search over
+  the cumulative counts), positions and frames are gathered, and the
+  ungapped diagonal prescore (seedLooksPromising, :426-481) runs
+  vectorized over every hit.
+
+Both stages are single jitted programs with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import kmer, searchsorted as ss
+
+
+@dataclasses.dataclass(frozen=True)
+class SeedConfig:
+    """Static (hashable) seeding parameters for one phase."""
+
+    seed_length: int
+    seed_offset: int
+    max_seed_dist: int
+    half_exact: bool
+    adaptive: bool
+    max_matches: int
+    pre_scoring: int            # region factor (0 = off)
+    pre_scoring_thresh: float
+    alphabet_size: int          # reduced alphabet
+    bits: int
+    cpw: int
+    words: int
+    n_rows: int                 # index rows (positions)
+    max_cursors: int = 4096     # per-batch cursor budget
+    max_hits: int = 16384       # per-batch hit budget
+    heuristic_factor: int = 10  # search_algo.hpp:627
+
+    @property
+    def capacity(self) -> int:
+        return self.cpw * self.words
+
+    @property
+    def ext_max(self) -> int:
+        return max(0, self.capacity - self.seed_length)
+
+    @property
+    def n_steps(self) -> int:
+        return ss.steps_for(self.n_rows)
+
+    @property
+    def occ_cap(self) -> int:
+        # abundance cutoff discards cursors with more occurrences
+        return self.heuristic_factor * self.max_matches
+
+
+def compute_seed_slots(trans_frames: list[np.ndarray], qry_num_frames: int,
+                       unknown_rank: int, cfg: SeedConfig):
+    """Host-side seed schedule.
+
+    Returns (slot_frame, slot_begin, slot_rem, T) arrays of shape (Q, T):
+    per original query, the ordered list of (frame row in batch, seedBegin)
+    plus the remaining-seed estimate used by desiredOccs
+    (search_algo.hpp:695-699).  Invalid slots have frame -1.
+    """
+    k, off = cfg.seed_length, cfg.seed_offset
+    Q = len(trans_frames) // qry_num_frames
+    per_query: list[list[tuple[int, int, int]]] = [[] for _ in range(Q)]
+
+    needles_sum = np.zeros(Q, dtype=np.int64)
+    for g, f in enumerate(trans_frames):
+        needles_sum[g // qry_num_frames] += len(f)
+
+    for q in range(Q):
+        needles_pos = 0
+        for fi in range(qry_num_frames):
+            g = q * qry_num_frames + fi
+            t = trans_frames[g]
+            size = len(t)
+            if size < k:
+                needles_pos += size
+                continue
+            # bad position: UNKNOWN or equal to the next char
+            bad = np.zeros(size, dtype=bool)
+            bad[:-1] = (t[:-1] == unknown_rank) | (t[:-1] == t[1:])
+            pos = 0
+            last = size - k
+            while True:
+                while pos < last and bad[pos]:
+                    pos += 1
+                if pos > last:
+                    break
+                rem = max((int(needles_sum[q]) - needles_pos - pos) // off, 1)
+                per_query[q].append((g, pos, rem))
+                pos += off
+            needles_pos += size
+
+    T = max((len(x) for x in per_query), default=0)
+    T = max(T, 1)
+    slot_frame = np.full((Q, T), -1, dtype=np.int32)
+    slot_begin = np.zeros((Q, T), dtype=np.int32)
+    slot_rem = np.ones((Q, T), dtype=np.int32)
+    for q, slots in enumerate(per_query):
+        for t, (g, pos, rem) in enumerate(slots):
+            slot_frame[q, t] = g
+            slot_begin[q, t] = pos
+            slot_rem[q, t] = rem
+    return slot_frame, slot_begin, slot_rem, T
+
+
+def make_seeder(cfg: SeedConfig):
+    """Build the two jitted stages for a config.  Device arrays are passed
+    as arguments so one compilation serves all batches."""
+
+    positions, replacements = kmer.variant_table(
+        cfg.seed_length, cfg.max_seed_dist, cfg.alphabet_size, cfg.half_exact)
+    V = len(positions)
+    k = cfg.seed_length
+    bits, cpw, words = cfg.bits, cfg.cpw, cfg.words
+
+    @jax.jit
+    def stage1(keys, red_q, qlens, slot_frame, slot_begin, slot_rem,
+               hits_this_seq0):
+        """Scan over seed slots.  Emits per-(q, t, v) cursors.
+
+        keys: (P, words) u32 sorted index keys
+        red_q: (G, L) int32 reduced query frames (0-padded)
+        qlens: (G,) int32 frame lengths
+        slot_*: (Q, T) int32
+        Returns dict with (Q, T, V) cursor arrays + stats.
+        """
+        P = keys.shape[0]
+        Q, T = slot_frame.shape
+
+        def step(carry, slot):
+            hits_this_seq = carry
+            g, begin, rem = slot  # each (Q,)
+            valid_slot = g >= 0
+            gs = jnp.maximum(g, 0)
+
+            # gather seed chars (Q, k)
+            idx = begin[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+            chars = red_q[gs[:, None], jnp.clip(idx, 0, red_q.shape[1] - 1)]
+
+            variants, vvalid = kmer.make_variants(chars, positions, replacements)
+            vvalid = vvalid & valid_slot[:, None]
+            targets = kmer.pack_prefix(
+                variants, jnp.full((Q, V), k, jnp.int32), bits, cpw, words)
+            masks = ss.length_masks(jnp.full((Q, V), k, jnp.int32), bits, cpw, words)
+
+            tf = targets.reshape(Q * V, words)
+            mf = masks.reshape(Q * V, words)
+            lo, hi = ss.search_range(
+                keys, tf, mf,
+                jnp.zeros(Q * V, jnp.int32), jnp.full(Q * V, P, jnp.int32),
+                cfg.n_steps)
+            lo = lo.reshape(Q, V)
+            hi = hi.reshape(Q, V)
+            count = jnp.where(vvalid, hi - lo, 0)
+
+            seed_len = jnp.full((Q, V), k, jnp.int32)
+
+            if cfg.adaptive and cfg.ext_max > 0:
+                # desiredOccs (search_algo.hpp:695-700)
+                desired = jnp.where(
+                    hits_this_seq >= cfg.max_matches,
+                    1,
+                    jnp.maximum(
+                        (cfg.max_matches - hits_this_seq)
+                        * cfg.heuristic_factor // jnp.maximum(rem, 1),
+                        1))  # (Q,)
+                frame_len = qlens[gs]  # (Q,)
+
+                def ext_body(_, st):
+                    tgt, msk, lo_c, hi_c, cnt, slen, frozen = st
+                    nxt_pos = begin[:, None] + slen  # (Q, V)
+                    can = (~frozen) & (nxt_pos < frame_len[:, None]) \
+                        & (slen < cfg.capacity) & (cnt > 0)
+                    nxt_char = red_q[gs[:, None],
+                                     jnp.clip(nxt_pos, 0, red_q.shape[1] - 1)]
+                    tgt2 = kmer.append_char(tgt, slen, nxt_char.astype(jnp.int32),
+                                            bits, cpw, words)
+                    msk2 = ss.length_masks(slen + 1, bits, cpw, words)
+                    lo2, hi2 = ss.search_range(
+                        keys, tgt2.reshape(Q * V, words), msk2.reshape(Q * V, words),
+                        lo_c.reshape(Q * V), hi_c.reshape(Q * V), cfg.n_steps)
+                    lo2 = lo2.reshape(Q, V)
+                    hi2 = hi2.reshape(Q, V)
+                    cnt2 = hi2 - lo2
+                    # revert if count drops below desiredOccs AND below old
+                    revert = (cnt2 < desired[:, None]) & (cnt2 < cnt)
+                    accept = can & ~revert
+                    frozen = frozen | (can & revert) | ~can
+                    tgt = jnp.where(accept[..., None], tgt2, tgt)
+                    msk = jnp.where(accept[..., None], msk2, msk)
+                    lo_c = jnp.where(accept, lo2, lo_c)
+                    hi_c = jnp.where(accept, hi2, hi_c)
+                    cnt = jnp.where(accept, cnt2, cnt)
+                    slen = jnp.where(accept, slen + 1, slen)
+                    return tgt, msk, lo_c, hi_c, cnt, slen, frozen
+
+                st0 = (targets, masks, lo, hi, count, seed_len,
+                       jnp.zeros((Q, V), bool))
+                targets, masks, lo, hi, count, seed_len, _ = jax.lax.fori_loop(
+                    0, cfg.ext_max, ext_body, st0)
+
+            # abundance cutoff (search_algo.hpp:729)
+            keep = (count > 0) & (count <= cfg.occ_cap)
+            kept_count = jnp.where(keep, count, 0)
+
+            # deviation (documented above): located hits, not prescore-passing
+            hits_this_seq = hits_this_seq + kept_count.sum(axis=1)
+
+            out = dict(lo=lo, count=kept_count, seed_len=seed_len,
+                       frame=jnp.broadcast_to(gs[:, None], (Q, V)),
+                       begin=jnp.broadcast_to(begin[:, None], (Q, V)))
+            return hits_this_seq, out
+
+        slots = (slot_frame.T, slot_begin.T, slot_rem.T)  # (T, Q) each
+        _, outs = jax.lax.scan(step, hits_this_seq0, slots)
+        # outs entries: (T, Q, V) -> reshape to (Q, T*V) cursor lists
+        res = {kk: jnp.transpose(vv, (1, 0, 2)).reshape(Q, T * V)
+               for kk, vv in outs.items()}
+        return res
+
+    @jax.jit
+    def stage2(kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
+               trans_sbj, trans_q, tq_lens,
+               cur_lo, cur_count, cur_seedlen, cur_frame, cur_begin,
+               subst_fwd, subst_rev):
+        """Flat locate + prescore.
+
+        cur_*: (C,) compacted cursor arrays (count>0), C static = max_cursors.
+        Returns per-hit arrays of length cfg.max_hits + pass flags + stats.
+        """
+        C = cur_lo.shape[0]
+        Hn = cfg.max_hits
+
+        cum = jnp.cumsum(cur_count)          # (C,)
+        total = cum[-1]
+        # hit j belongs to cursor searchsorted(cum, j, 'right')
+        j = jnp.arange(Hn, dtype=jnp.int32)
+        cursor_of = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+        cursor_of = jnp.clip(cursor_of, 0, C - 1)
+        prev = jnp.where(cursor_of > 0, cum[jnp.maximum(cursor_of - 1, 0)], 0)
+        occ = j - prev
+        hit_valid = j < total
+
+        row = cur_lo[cursor_of] + occ
+        pos = kmer_pos[jnp.clip(row, 0, kmer_pos.shape[0] - 1)].astype(jnp.int32)
+        sframe = kmer_frame[jnp.clip(row, 0, kmer_frame.shape[0] - 1)].astype(jnp.int32)
+        s_off = pos - sbj_offsets[sframe]
+
+        qframe = cur_frame[cursor_of]
+        qbegin = cur_begin[cursor_of]
+        slen_seed = cur_seedlen[cursor_of]
+
+        if cfg.pre_scoring > 0:
+            # seedLooksPromising (search_algo.hpp:426-481)
+            actual = slen_seed
+            eff_len0 = jnp.maximum(cfg.pre_scoring * cfg.seed_length, actual)
+            half = (eff_len0 - actual) // 2
+            eqb = qbegin - half
+            esb = s_off - half
+            mn = jnp.minimum(jnp.minimum(eqb, esb), 0)
+            eqb = eqb - mn
+            esb = esb - mn
+            eff_len = eff_len0 + mn  # mn <= 0
+            qsize = tq_lens[qframe]
+            ssize = sbj_lens[sframe]
+            eff_len = jnp.where(
+                eff_len0 > actual,
+                jnp.minimum(jnp.minimum(qsize - eqb, ssize - esb), eff_len),
+                eff_len)
+
+            EFF = cfg.pre_scoring * cfg.seed_length
+            EFF = max(EFF, cfg.capacity)
+            r = jnp.arange(EFF, dtype=jnp.int32)
+            qidx = eqb[:, None] + r[None, :]
+            sidx = esb[:, None] + r[None, :]
+            qc = trans_q[jnp.clip(qframe, 0, trans_q.shape[0] - 1)[:, None],
+                         jnp.clip(qidx, 0, trans_q.shape[1] - 1)]
+            sc = trans_sbj[jnp.clip(sbj_offsets[sframe][:, None] + sidx, 0,
+                                    trans_sbj.shape[0] - 1)].astype(jnp.int32)
+            use_rev = (sframe % 2) == 1
+            sub_f = subst_fwd[qc, sc]
+            sub_r = subst_rev[qc, sc]
+            sub = jnp.where(use_rev[:, None], sub_r, sub_f)
+            in_win = r[None, :] < eff_len[:, None]
+            sub = jnp.where(in_win, sub, 0)
+
+            def kadane(i, st):
+                run, best = st
+                x = sub[:, i]
+                run = jnp.maximum(run + x, 0)
+                best = jnp.maximum(best, jnp.where(r[i] < eff_len, run, best))
+                return run, best
+
+            run0 = jnp.zeros(Hn, jnp.int32)
+            _, max_score = jax.lax.fori_loop(0, EFF, kadane, (run0, run0))
+            thresh = (cfg.pre_scoring_thresh * eff_len).astype(jnp.int32)
+            passed = hit_valid & (max_score >= thresh)
+        else:
+            passed = hit_valid
+
+        stats = dict(
+            hits_located=jnp.sum(hit_valid.astype(jnp.int32)),
+            hits_overflow=jnp.maximum(total - Hn, 0),
+            failed_prescore=jnp.sum((hit_valid & ~passed).astype(jnp.int32)),
+        )
+        return dict(q_frame=qframe, q_begin=qbegin, seed_len=slen_seed,
+                    s_frame=sframe, s_off=s_off,
+                    valid=hit_valid, passed=passed, stats=stats)
+
+    return stage1, stage2

@@ -1,0 +1,58 @@
+"""Run statistics: the hit funnel (StatsHolder port,
+``/root/reference/src/search_datastructures.hpp:91-295``)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class StatsHolder:
+    hits_after_seeding: int = 0
+    hits_merged: int = 0
+    hits_too_short: int = 0
+    hits_masked: int = 0
+    hits_failed_pre_extend: int = 0
+    hits_failed_percent_ident: int = 0
+    hits_failed_bit_score: int = 0
+    hits_failed_e_value: int = 0
+    hits_abundant: int = 0
+    hits_duplicate: int = 0
+    hits_duplicate2: int = 0
+    hits_final: int = 0
+    qrys_with_hit: int = 0
+    pairs: int = 0
+    # TPU-specific overflow counters (fixed-budget buffers)
+    cursors_overflow: int = 0
+    hits_overflow: int = 0
+
+    def __iadd__(self, o: "StatsHolder"):
+        for f in dataclasses.fields(self):
+            setattr(self, f.name, getattr(self, f.name) + getattr(o, f.name))
+        return self
+
+    def print_report(self, options) -> None:
+        if options.verbosity >= 2:
+            rem = self.hits_after_seeding
+            print("   HITS                            Remaining")
+            print(f"   after Seeding               {rem:>12}")
+            for label, n in [
+                ("failed pre-extend test", self.hits_failed_pre_extend),
+                ("failed e-value test", self.hits_failed_e_value),
+                ("failed bitScore test", self.hits_failed_bit_score),
+                ("failed %-identity test", self.hits_failed_percent_ident),
+                ("duplicates", self.hits_duplicate),
+                ("late duplicates", self.hits_duplicate2),
+                ("abundant", self.hits_abundant),
+            ]:
+                rem -= n
+                print(f" - {label:<27}{n:>12} = {rem}")
+            if self.cursors_overflow or self.hits_overflow:
+                print(f"   [buffer overflows: cursors={self.cursors_overflow} "
+                      f"hits={self.hits_overflow}]")
+            if rem != self.hits_final:
+                print("WARNING: hits don't add up")
+        if options.verbosity >= 1:
+            print(f"Number of total hits:                           {self.hits_final}")
+            print(f"Number of Query-Subject pairs:                  {self.pairs}")
+            print(f"Number of Queries with at least one valid hit:  {self.qrys_with_hit}")

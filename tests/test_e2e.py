@@ -1,0 +1,224 @@
+"""End-to-end CLI golden-style tests, mirroring the reference's test
+strategy (test/cli/search_test.cpp): build an index, search, inspect the
+BLAST-tab output."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from lambda_tpu import alphabets as ab
+from lambda_tpu.io import fasta
+
+REPO = Path(__file__).resolve().parent.parent
+
+GYRA = (
+    "MSDLAREITPVNIEEELKSSYLDYAMSVIVGRALPDVRDGLKPVHRRVLYAMNVLGNDWNKAYKKSARVVGDVIGKYHPHGDSAVYDTIVRMAQPFSLRYMLVDGQGNFGSIDGDSAAAMRYTEIRLAKIAHELMADLEKETVDFVDNYDGTEKIPDVMPTKIPNLLVNGSSGIAVGMATNIPPHNLTEVINGCLAYIDDEDISIEGLMEHIPGPDFPTAAIINGRRGIEEAYRTGRGKVYIRARAEVEVDAKTGRETIIVHEIPYQVNKARLIEKIAELVKEKRVEGISALRDESDKDGMRIVIEVKRDAVGEVVLNNLYSQTQLQVSFGINMVALHHGQPKIMNLKDIIAAFVRHRREVVTRRTIFELRKARDRAHILEALAVALANIDPIIELIRHAPTPAEAKTALVANPWQLGNVAAMLERAGDDAARPEWLEPEFGVRDGLYYLTEQQAQAILDLRLQKLTGLEHEKLLDEYKELLDQIAELLRILGSADRLMEVIREELELVREQFGDKRRTEITAN"
+)
+
+# reverse-translate a protein using fixed codons (for blastx/tblastn inputs)
+_CODON_OF = {}
+for _i in range(64):
+    _aa = ab.decode(ab.CODON_TABLE_STD[_i : _i + 1], ab.AMINO_ACID)
+    _codon = ab.decode(
+        np.array([_i // 16, (_i // 4) % 4, _i % 4], dtype=np.uint8), ab.DNA4)
+    _CODON_OF.setdefault(_aa, _codon)
+
+
+def rev_translate(prot: str) -> str:
+    return "".join(_CODON_OF[c] for c in prot)
+
+
+def revcomp(s: str) -> str:
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    return "".join(comp[c] for c in reversed(s))
+
+
+def run_cli(*args) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "lambda_tpu.cli", *args],
+        capture_output=True, text=True, cwd=REPO,
+        env={"PYTHONPATH": str(REPO), "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+             "HOME": "/root",
+             "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+             "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1"},
+        check=False)
+
+
+def read_m8(path):
+    rows = []
+    for line in Path(path).read_text().splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        rows.append(line.split("\t"))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def protein_db(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pdb")
+    db = d / "db.fasta"
+    fasta.write_fasta(db, [
+        fasta.SeqRecord("GYRA_ECOLI gyrase", GYRA.encode()),
+        fasta.SeqRecord("OTHER_PROT", b"MNKQRSTVWYACDEFGHILMNPQRSTVWYACDEFGHIKLM" * 4),
+    ])
+    out = d / "db.lit"
+    r = run_cli("mkindexp", "-d", str(db), "-i", str(out), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    return out
+
+
+@pytest.fixture(scope="module")
+def dna_db(tmp_path_factory):
+    """DNA database indexed for protein search (6-frame, for tblastn/x)."""
+    d = tmp_path_factory.mktemp("ndb")
+    db = d / "db.fasta"
+    dna = rev_translate(GYRA[:160])
+    fasta.write_fasta(db, [fasta.SeqRecord("GYRA_DNA", dna.encode())])
+    out = d / "db.lit"
+    r = run_cli("mkindexp", "-d", str(db), "-i", str(out), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    return out
+
+
+def test_blastp_exact_and_mismatch(protein_db, tmp_path):
+    q = tmp_path / "q.fasta"
+    frag = GYRA[50:130]
+    frag2 = GYRA[200:280]
+    frag2 = frag2[:30] + "AG" + frag2[32:]
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", frag.encode()),
+                          fasta.SeqRecord("q2", frag2.encode()),
+                          fasta.SeqRecord("qnone", b"MWCHPMWCHPMWCHPMWCHP")])
+    out = tmp_path / "out.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(protein_db), "-o", str(out), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    by_q = {r[0]: r for r in rows}
+    assert by_q["q1"][1] == "GYRA_ECOLI"
+    assert by_q["q1"][2] == "100.00"
+    assert by_q["q1"][6:10] == ["1", "80", "51", "130"]
+    assert by_q["q2"][2] == "97.50"
+    assert by_q["q2"][6:10] == ["1", "80", "201", "280"]
+    assert "qnone" not in by_q
+
+
+def test_blastn_plus_minus_strand(tmp_path):
+    rng = np.random.default_rng(5)
+    s1 = "".join(rng.choice(list("ACGT"), 300))
+    s2 = "".join(rng.choice(list("ACGT"), 200))
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("subj1", s1.encode()),
+                           fasta.SeqRecord("subj2", s2.encode())])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexn", "-d", str(db), "-i", str(lit), "-v", "0").returncode == 0
+
+    q1 = s1[100:160]
+    rc = revcomp(s2[50:100])
+    rc = rc[:20] + ("A" if rc[20] != "A" else "C") + rc[21:]
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", q1.encode()),
+                          fasta.SeqRecord("q2", rc.encode())])
+    out = tmp_path / "out.m8"
+    r = run_cli("searchn", "-q", str(q), "-i", str(lit), "-o", str(out), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    by_q = {r[0]: r for r in read_m8(out)}
+    assert by_q["q1"][2] == "100.00"
+    assert by_q["q1"][6:10] == ["1", "60", "101", "160"]
+    # minus strand: qstart > qend, subject coordinates ascending
+    assert by_q["q2"][2] == "98.00"
+    assert by_q["q2"][6:10] == ["50", "1", "51", "100"]
+
+
+def test_blastx_dna_query_against_protein_db(protein_db, tmp_path):
+    prot_frag = GYRA[30:90]
+    dna = "GG" + rev_translate(prot_frag) + "C"  # frame +3
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("xq1", dna.encode()),
+                          fasta.SeqRecord("xq2", revcomp(dna).encode())])
+    out = tmp_path / "out.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(protein_db), "-o", str(out),
+                "--output-columns", "std qframe", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    by_q = {r[0]: r for r in read_m8(out)}
+    assert by_q["xq1"][2] == "100.00"
+    assert by_q["xq1"][12] == "3"       # query frame +3
+    # subject (protein) coordinates 31..90
+    assert by_q["xq1"][8:10] == ["31", "90"]
+    # dna coords: frame +3 starting at codon 0 -> 1-based 3..182
+    assert by_q["xq1"][6:8] == ["3", "182"]
+    # reverse query: negative frame, mirrored coordinates
+    assert by_q["xq2"][12].startswith("-")
+    assert int(by_q["xq2"][6]) > int(by_q["xq2"][7])
+
+
+def test_tblastn_protein_query_against_dna_db(dna_db, tmp_path):
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("tq1", GYRA[20:100].encode())])
+    out = tmp_path / "out.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(dna_db), "-o", str(out),
+                "--output-columns", "std sframe", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    by_q = {r[0]: r for r in read_m8(out)}
+    assert by_q["tq1"][2] == "100.00"
+    assert by_q["tq1"][12] == "1"  # subject frame +1
+    assert by_q["tq1"][6:8] == ["1", "80"]
+    # subject dna coords: protein 20..100 -> dna 61..300
+    assert by_q["tq1"][8:10] == ["61", "300"]
+
+
+def test_tblastx_dna_query_against_dna_db(dna_db, tmp_path):
+    q = tmp_path / "q.fasta"
+    dna = rev_translate(GYRA[40:100])
+    fasta.write_fasta(q, [fasta.SeqRecord("xxq1", dna.encode())])
+    out = tmp_path / "out.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(dna_db), "-o", str(out), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    assert rows, "tblastx found no hits"
+    assert rows[0][0] == "xxq1"
+    assert rows[0][2] == "100.00"
+
+
+def test_m9_output_with_comments(protein_db, tmp_path):
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", GYRA[50:130].encode())])
+    out = tmp_path / "out.m9"
+    r = run_cli("searchp", "-q", str(q), "-i", str(protein_db), "-o", str(out), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    text = Path(out).read_text()
+    assert "# BLASTP 2.2.26+" in text
+    assert "# Query: q1" in text
+    assert "# Fields: query id, subject id, % identity" in text
+    assert "# 1 hits found" in text
+    assert "# BLAST processed 1 queries" in text
+
+
+def test_num_matches_cutoff_and_evalue(tmp_path):
+    # db with many copies of the same repeat: a query should hit all of
+    # them, -n limits output
+    rng = np.random.default_rng(9)
+    core = "".join(rng.choice(list("ACGT"), 80))
+    recs = []
+    for i in range(6):
+        pad = "".join(rng.choice(list("ACGT"), 30))
+        recs.append(fasta.SeqRecord(f"s{i}", (pad + core).encode()))
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, recs)
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexn", "-d", str(db), "-i", str(lit), "-v", "0").returncode == 0
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", core.encode())])
+    out = tmp_path / "out.m8"
+    r = run_cli("searchn", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "-n", "3", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    assert len(rows) == 3
+    # strict e-value: nothing passes
+    out2 = tmp_path / "out2.m8"
+    r = run_cli("searchn", "-q", str(q), "-i", str(lit), "-o", str(out2),
+                "-e", "1e-60", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    assert read_m8(out2) == []

@@ -1,0 +1,62 @@
+"""Bisulfite-mode end-to-end tests (searchbs / mkindexbs).
+
+Mirrors the reference's blastn-bs cases: bisulfite-converted reads (C->T
+on the forward strand, G->A on the reverse) must align against the
+unconverted genome with full identity under the BS matrices
+(bisulfite_scoring.hpp, view_reduce_to_bisulfite.hpp)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from lambda_tpu.io import fasta
+from tests.test_e2e import run_cli, read_m8, revcomp
+
+
+@pytest.fixture(scope="module")
+def bs_db(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bsdb")
+    rng = np.random.default_rng(11)
+    genome = "".join(rng.choice(list("ACGT"), 400))
+    db = d / "genome.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("chr1", genome.encode())])
+    lit = d / "genome.lit"
+    r = run_cli("mkindexbs", "-d", str(db), "-i", str(lit), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    return genome, lit
+
+
+def test_bisulfite_converted_reads(bs_db, tmp_path):
+    genome, lit = bs_db
+    # fwd-strand read, fully bisulfite converted: every C -> T
+    read_fwd = genome[100:180].replace("C", "T")
+    # reverse-strand read: G -> A conversion on the plus strand, then revcomp
+    read_rev = revcomp(genome[200:280].replace("G", "A"))
+    q = tmp_path / "reads.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("r_fwd", read_fwd.encode()),
+                          fasta.SeqRecord("r_rev", read_rev.encode())])
+    out = tmp_path / "out.m8"
+    r = run_cli("searchbs", "-q", str(q), "-i", str(lit), "-o", str(out), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    by_q = {row[0]: row for row in read_m8(out)}
+    # C->T conversions count as matches under the BS fwd matrix
+    assert "r_fwd" in by_q, by_q
+    assert by_q["r_fwd"][2] == "100.00"
+    assert by_q["r_fwd"][6:10] == ["1", "80", "101", "180"]
+    assert "r_rev" in by_q, by_q
+    assert by_q["r_rev"][2] == "100.00"
+    assert by_q["r_rev"][8:10] == ["201", "280"]
+    # minus-strand query: qstart > qend
+    assert int(by_q["r_rev"][6]) > int(by_q["r_rev"][7])
+
+
+def test_bisulfite_unconverted_still_hits(bs_db, tmp_path):
+    genome, lit = bs_db
+    q = tmp_path / "reads.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("plain", genome[50:130].encode())])
+    out = tmp_path / "out.m8"
+    r = run_cli("searchbs", "-q", str(q), "-i", str(lit), "-o", str(out), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    assert rows and rows[0][2] == "100.00"
