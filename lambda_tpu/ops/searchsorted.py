@@ -75,6 +75,13 @@ def search_range(keys: jnp.ndarray, targets: jnp.ndarray, masks: jnp.ndarray,
     Returns (lo, hi): (N,) int32 each; hi - lo is the occurrence count.
     """
 
+    # anchor the carries to the inputs' device-variance (vma) so the loop
+    # carry type is stable under shard_map (value is unchanged: x | 0)
+    anchor = (keys[0, 0] & jnp.uint32(0)).astype(jnp.int32) + \
+             (targets[..., 0] & jnp.uint32(0)).astype(jnp.int32)
+    lo0 = lo0 + anchor
+    hi0 = hi0 + anchor
+
     def lb_body(_, state):
         lo, hi = state
         mid = (lo + hi) >> 1

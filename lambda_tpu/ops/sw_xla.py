@@ -118,10 +118,13 @@ def _scan_core(q, s, subst_ext, gap_first, gap_extend, with_dirs: bool):
 
         return (H, H1, E, F, best, bi, bj), out
 
-    H0 = jnp.zeros((B, M + 1), dtype=jnp.int32)
-    E0 = jnp.full((B, M + 1), NEG, dtype=jnp.int32)
-    init = (H0, H0, E0, E0,
-            jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
+    # anchor to inputs' device-variance so scan carry types are stable
+    # under shard_map (x + 0 keeps values)
+    anchor = (q[:, 0] * 0 + s[:, 0] * 0).astype(jnp.int32)  # (B,)
+    H0 = jnp.zeros((B, M + 1), dtype=jnp.int32) + anchor[:, None]
+    E0 = jnp.full((B, M + 1), NEG, dtype=jnp.int32) + anchor[:, None]
+    z = jnp.zeros(B, jnp.int32) + anchor
+    init = (H0, H0, E0, E0, z, z, z)
 
     ds = jnp.arange(2, M + N + 1, dtype=jnp.int32)
     carry, dirs = jax.lax.scan(step, init, ds)

@@ -1,0 +1,209 @@
+"""Multi-chip scale-out: database sharding + data-parallel query batches
+over a ``jax.sharding.Mesh``.
+
+The reference is single-node OpenMP (``/root/reference/src/search.cpp:379``)
+with a shared read-only index; its TPU-native scale-out (SURVEY.md §2.2 P7)
+is designed here instead of translated:
+
+* mesh axes: ``q`` (query data parallelism) x ``db`` (database shards)
+* every ``db`` shard holds its own sorted k-mer index over a contiguous
+  slice of subject frames (built by :func:`shard_index`), so all stage-1/2
+  row spaces are shard-local; emitted hits carry *global* frame ids
+* queries are replicated along ``db`` and sharded along ``q``; per-shard
+  hit lists ride ICI collectives: scores are merged with a top-k over an
+  ``all_gather`` along ``db``
+* scalar statistics (dbTotalLength for e-values; search_algo.hpp:317-319)
+  are a ``psum`` over shards
+
+``sharded_search_step`` is the fused device step (seed -> locate ->
+prescore -> banded-window SW -> top-k merge) used by the multi-chip dry
+run and benchmarks; the CLI pipeline currently drives the single-device
+variants and merges on host (full distributed CLI lands in a later round).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import alphabets as ab
+from ..index.build import KmerIndex, build_kmer_index
+from ..ops import kmer as kmer_ops, searchsorted as ss, sw_xla
+from ..search import seeding
+
+
+def shard_index(red_frames: list[np.ndarray], alphabet_size: int,
+                n_shards: int, words: int = 4):
+    """Split frames into ``n_shards`` contiguous groups and build one
+    k-mer index per shard.  Returns per-shard (KmerIndex, frame_base,
+    local_offsets) with padded, equal row counts so the stack can be
+    device-sharded."""
+    from .. import frames as fr
+
+    groups = np.array_split(np.arange(len(red_frames)), n_shards)
+    shards = []
+    for g in groups:
+        frames_g = [red_frames[i] for i in g]
+        concat, offsets, _ = fr.concat_frames(frames_g)
+        idx = build_kmer_index(concat, offsets, alphabet_size, words=words)
+        base = int(g[0]) if len(g) else 0
+        shards.append((idx, base, offsets))
+    return shards
+
+
+def stack_shards(shards, total_frames: int):
+    """Pad each shard's arrays to the max row count and stack into
+    (n_shards, ...) arrays ready for jax.device_put with a 'db' sharding.
+
+    Padded key rows are all-0xFF so no real prefix can match them; padded
+    rows never enter [lo, hi) ranges because the searches are bounded by
+    per-shard row counts."""
+    n = len(shards)
+    pmax = max(s[0].num_positions for s in shards)
+    words = shards[0][0].words
+    keys = np.full((n, pmax, words), 0xFFFFFFFF, dtype=np.uint32)
+    pos = np.zeros((n, pmax), dtype=np.int32)
+    frame = np.zeros((n, pmax), dtype=np.int32)
+    rows = np.zeros((n,), dtype=np.int32)
+    # per-shard frame offset tables, padded to the global frame count + 1
+    offs = np.zeros((n, total_frames + 1), dtype=np.int32)
+    base = np.zeros((n,), dtype=np.int32)
+    for i, (idx, fb, loc_offs) in enumerate(shards):
+        p = idx.num_positions
+        keys[i, :p] = idx.keys
+        pos[i, :p] = idx.pos.astype(np.int32)
+        # translate local frame id -> global
+        frame[i, :p] = idx.frame.astype(np.int32) + fb
+        rows[i] = p
+        offs[i, : len(loc_offs)] = loc_offs.astype(np.int32)
+        base[i] = fb
+    return dict(keys=keys, pos=pos, frame=frame, rows=rows,
+                local_offsets=offs, frame_base=base)
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static configuration of the fused sharded search step."""
+
+    seed_length: int = 11
+    seed_offset: int = 3
+    alphabet_size: int = 10
+    bits: int = 4
+    cpw: int = 8
+    words: int = 4
+    seeds_per_query: int = 16
+    occ_cap: int = 8          # located hits kept per seed
+    window: int = 64          # subject window for banded SW
+    top_k: int = 8            # merged hits per query
+
+
+def make_sharded_search_step(mesh: Mesh, cfg: StepConfig, n_rows_padded: int):
+    """Build the jitted multi-device search step.
+
+    Inputs (global shapes):
+      red_q:   (Q, L) int32 reduced queries       -> sharded P('q', None)
+      trans_q: (Q, L) int32 translated queries    -> sharded P('q', None)
+      keys:    (D, Pmax, W) uint32                -> sharded P('db', None, None)
+      pos:     (D, Pmax) int32                    -> sharded P('db', None)
+      rows:    (D,) int32                         -> sharded P('db')
+      sbj:     (D, S) int32 translated subject concat -> P('db', None)
+      subst:   (A+1, A+1) int32 (PAD-extended)    -> replicated
+    Output: per-query top-k scores merged across db shards,
+      (Q, top_k) int32 -> P('q', None); plus global db length (psum).
+    """
+    n_steps = ss.steps_for(n_rows_padded)
+    k = cfg.seed_length
+
+    def local_step(red_q, trans_q, keys, pos, rows, sbj, sbj_len, subst):
+        # shard-local shapes: red_q (Qs, L), keys (1, Pmax, W), ...
+        keys = keys[0]
+        pos = pos[0]
+        n_rows = rows[0]
+        sbj = sbj[0]
+        sbj_len = sbj_len[0]
+        Qs, L = red_q.shape
+
+        # --- seeds every seed_offset positions (fixed schedule)
+        starts = (jnp.arange(cfg.seeds_per_query, dtype=jnp.int32)
+                  * cfg.seed_offset)  # (T,)
+        idx2 = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+        chars = red_q[:, jnp.clip(idx2, 0, L - 1)]  # (Qs, T, k)
+        tgt = kmer_ops.pack_prefix(
+            chars, jnp.full((Qs, cfg.seeds_per_query), k, jnp.int32),
+            cfg.bits, cfg.cpw, cfg.words)
+        msk = ss.length_masks(
+            jnp.full((Qs, cfg.seeds_per_query), k, jnp.int32),
+            cfg.bits, cfg.cpw, cfg.words)
+        S = Qs * cfg.seeds_per_query
+        lo, hi = ss.search_range(
+            keys, tgt.reshape(S, cfg.words), msk.reshape(S, cfg.words),
+            jnp.zeros(S, jnp.int32), jnp.full(S, n_rows, jnp.int32), n_steps)
+        count = jnp.minimum(hi - lo, cfg.occ_cap)
+
+        # --- locate (fixed occ per seed)
+        occ = jnp.arange(cfg.occ_cap, dtype=jnp.int32)
+        rowsel = jnp.clip(lo[:, None] + occ[None, :], 0, keys.shape[0] - 1)
+        hit_valid = occ[None, :] < count[:, None]
+        hit_pos = pos[rowsel]  # (S, occ) local concat positions
+
+        # --- banded-window SW around each hit diagonal (MXU/VPU work)
+        qi = jnp.arange(S, dtype=jnp.int32) // cfg.seeds_per_query
+        sstart = jnp.maximum(hit_pos - (starts[None, :]
+                             .repeat(Qs, 0).reshape(S)[:, None]) - 8, 0)
+        W = cfg.window
+        widx = sstart[:, :, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        swin = sbj[jnp.clip(widx, 0, sbj.shape[0] - 1)]  # (S, occ, W)
+        pad = subst.shape[0] - 1
+        swin = jnp.where(widx < sbj_len, swin, pad)
+        qwin = trans_q[qi]  # (S, L)
+        B = S * cfg.occ_cap
+        scores, _, _ = sw_xla.sw_score_batch(
+            jnp.repeat(qwin, cfg.occ_cap, axis=0).reshape(B, L),
+            swin.reshape(B, W), subst, -12, -1)
+        scores = jnp.where(hit_valid.reshape(B), scores, 0)
+        scores = scores.reshape(Qs, cfg.seeds_per_query * cfg.occ_cap)
+
+        # per-query local top-k, then merge across db shards
+        local_top = jax.lax.top_k(scores, cfg.top_k)[0]  # (Qs, top_k)
+        gathered = jax.lax.all_gather(local_top, "db", axis=1, tiled=True)
+        merged = jax.lax.top_k(gathered, cfg.top_k)[0]
+        # post-gather values are identical on every 'db' member; pmax marks
+        # the replication for shard_map's output-spec check
+        merged = jax.lax.pmax(merged, "db")
+
+        # global database length for e-values: scalar psum over shards
+        db_total = jax.lax.psum(sbj_len, "db")
+        return merged, jnp.broadcast_to(db_total, (Qs, 1))
+
+    step = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("q", None), P("q", None),
+                  P("db", None, None), P("db", None), P("db"),
+                  P("db", None), P("db"), P(None, None)),
+        out_specs=(P("q", None), P("q", None)),
+    )
+    return jax.jit(step)
+
+
+def make_demo_inputs(cfg: StepConfig, n_q: int, q_len: int, db_seq_len: int,
+                     n_db_frames: int, seed: int = 0):
+    """Synthetic protein-like inputs for the dry run / benchmarks."""
+    rng = np.random.default_rng(seed)
+    A = cfg.alphabet_size
+    frames = [rng.integers(0, A, size=db_seq_len).astype(np.uint8)
+              for _ in range(n_db_frames)]
+    red_q = rng.integers(0, A, size=(n_q, q_len)).astype(np.int32)
+    # plant exact matches so the pipeline finds real hits
+    for i in range(min(n_q, n_db_frames)):
+        f = frames[i % n_db_frames]
+        off = rng.integers(0, max(1, len(f) - q_len))
+        red_q[i, :] = f[off : off + q_len]
+    trans_q = red_q.copy()
+    subst = np.full((A, A), -2, dtype=np.int32)
+    np.fill_diagonal(subst, 4)
+    return frames, red_q, trans_q, sw_xla.extend_matrix(subst)

@@ -5,7 +5,10 @@ import os
 
 # Must be set before jax import (any test importing lambda_tpu device code
 # will transitively import jax).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment's axon TPU plugin merges itself into JAX_PLATFORMS
+# (JAX_PLATFORMS=cpu becomes "axon,cpu"); JAX_PLATFORM_NAME wins cleanly.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")

@@ -40,7 +40,8 @@ def run_cli(*args) -> subprocess.CompletedProcess:
     return subprocess.run(
         [sys.executable, "-m", "lambda_tpu.cli", *args],
         capture_output=True, text=True, cwd=REPO,
-        env={"PYTHONPATH": str(REPO), "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+        env={"PYTHONPATH": str(REPO), "JAX_PLATFORM_NAME": "cpu",
+             "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
              "HOME": "/root",
              "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
              "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1"},
