@@ -131,6 +131,38 @@ class SearchContext:
 
         self._seeders: dict = {}
 
+    def query_frame(self, q_seq: np.ndarray, frame_idx: int) -> np.ndarray:
+        """Regenerate one translated frame of a query (used at output time
+        for alignment display / SAM)."""
+        frames = fr.query_trans_frames([q_seq], self.qry_orig_alph,
+                                       self.idx.trans_alph, self.idx.red_alph,
+                                       self.opt.genetic_code)
+        return frames[frame_idx]
+
+    def subject_frame(self, frame_id: int) -> np.ndarray:
+        o = self.idx.trans_offsets
+        return self.idx.trans_concat[o[frame_id] : o[frame_id + 1]]
+
+    def alignment_rows(self, bm, q_seq: np.ndarray):
+        """Display rows for the m0 report."""
+        from ..output import blast_report
+
+        F = self.qry_num_frames
+        qf = self.query_frame(q_seq, bm.qry_frame_id % F)
+        sf = self.subject_frame(bm.subj_frame_id)
+        q_chars = ab.decode(qf, self.idx.trans_alph)
+        s_chars = ab.decode(sf, self.idx.trans_alph)
+        use_rev = self.bs_mode and bm.subj_frame_id % 2 == 1
+        subst = (self.align_rev if use_rev else self.align_fwd).matrix
+
+        def positive(qi, sj):
+            return subst[int(qf[qi]), int(sf[sj])] > 0
+
+        return blast_report.build_alignment_rows(
+            bm, q_chars, s_chars, subst, positive,
+            3 if self.program.q_translated else 1,
+            3 if self.program.s_translated else 1)
+
     def seeder_for(self, so: opt_mod.SearchOpts):
         key = (so.seed_length, so.seed_offset, so.max_seed_dist)
         if key not in self._seeders:
@@ -362,27 +394,53 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
         writer = blast_tab.BlastTabWriter(
             opt.output, opt.columns, opt.blast_tabular_with_comments,
             program_upper, version_string, opt.index_file)
+    elif opt.out_file_format == -1:
+        from ..output import blast_report
+
+        matrix_name = (f"BLOSUM{opt.scoring_method}"
+                       if idx.trans_alph == ab.AMINO_ACID
+                       else f"blastn matrix {opt.match} {opt.mismatch}")
+        writer = blast_report.BlastReportWriter(
+            opt.output, program_upper, version_string, opt.index_file,
+            db_num_seqs=len(idx.trans_frames),
+            db_total_length=idx.db_total_length,
+            matrix_name=matrix_name,
+            gap_open=opt.gap_open, gap_extend=opt.gap_extend)
+    elif opt.out_file_format in (1, 2):
+        from ..output import sam_bam
+
+        writer = sam_bam.SamBamWriter(
+            opt.output, bam=opt.out_file_format == 2, opt=opt, ctx=ctx)
     else:
-        raise NotImplementedError(
-            "m0/SAM/BAM output lands in a later milestone; use .m8/.m9")
+        raise NotImplementedError(f"output format {opt.out_file_format}")
     writer.write_header()
 
-    def write_query_records(q_global_id: str, matches: list):
+    def write_query_records(q_global_id: str, q_seq: np.ndarray, matches: list):
         matches = records.sort_dedup_cutoff(matches, opt.max_matches, stats)
         if not matches:
             return
         stats.qrys_with_hit += 1
         stats.pairs += len({m.n_s_id for m in matches})
-        lca_id, lca_name = "", 0
+        lca_tax, lca_name = 0, ""
         if opt.compute_lca:
-            lca_tax, lca_name_s = records.record_lca(
+            lca_tax, lca_name = records.record_lca(
                 matches, idx.s_tax_ids, idx.taxon_parents, idx.taxon_heights,
                 idx.taxon_names)
-            lca_id, lca_name = lca_name_s, lca_tax
-        fields = [blast_tab.fields_for_match(
-            bm, q_global_id, idx.ids[bm.n_s_id], ctx.program,
-            lca_id=lca_id, lca_tax_id=lca_name) for bm in matches]
-        writer.write_record(q_global_id, fields)
+        if opt.out_file_format == 0:
+            fields = [blast_tab.fields_for_match(
+                bm, q_global_id, idx.ids[bm.n_s_id], ctx.program,
+                lca_id=lca_name, lca_tax_id=lca_tax) for bm in matches]
+            writer.write_record(q_global_id, fields)
+        elif opt.out_file_format == -1:
+            from ..output import blast_report
+
+            rows = [ctx.alignment_rows(bm, q_seq) for bm in matches]
+            writer.write_record(
+                q_global_id, len(q_seq), matches, idx.ids,
+                blast_tab.format_evalue, blast_tab.format_bitscore, rows)
+        else:
+            writer.write_record(q_global_id, q_seq, matches,
+                                lca_tax=lca_tax, lca_name=lca_name)
 
     # query stream in batches
     batch_ids: list[str] = []
@@ -396,17 +454,18 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
             res1 = ctx.process_batch(batch_seqs, opt.search_opts0, stats)
             successful = set(q for q, ms in res1.items() if ms)
             for q in sorted(successful):
-                write_query_records(batch_ids[q], res1[q])
+                write_query_records(batch_ids[q], batch_seqs[q], res1[q])
             remaining = [q for q in range(len(batch_seqs)) if q not in successful]
             if remaining:
                 res2 = ctx.process_batch([batch_seqs[q] for q in remaining],
                                          opt.search_opts, stats)
                 for qi, ms in sorted(res2.items()):
-                    write_query_records(batch_ids[remaining[qi]], ms)
+                    write_query_records(batch_ids[remaining[qi]],
+                                        batch_seqs[remaining[qi]], ms)
         else:
             res = ctx.process_batch(batch_seqs, opt.search_opts, stats)
             for q, ms in sorted(res.items()):
-                write_query_records(batch_ids[q], ms)
+                write_query_records(batch_ids[q], batch_seqs[q], ms)
         batch_ids.clear()
         batch_seqs.clear()
 

@@ -1,0 +1,140 @@
+"""End-to-end tests for the m0 / SAM / BAM output backends."""
+
+import gzip
+import struct
+from pathlib import Path
+
+import pytest
+
+from lambda_tpu.io import fasta
+from tests.test_e2e import GYRA, run_cli
+
+
+@pytest.fixture(scope="module")
+def searched(tmp_path_factory):
+    d = tmp_path_factory.mktemp("outdb")
+    db = d / "db.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("GYRA_ECOLI gyrase A", GYRA.encode())])
+    lit = d / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit), "-v", "0").returncode == 0
+    q = d / "q.fasta"
+    frag = GYRA[50:130]
+    frag2 = GYRA[200:280]
+    frag2 = frag2[:30] + "AG" + frag2[32:]
+    fasta.write_fasta(q, [fasta.SeqRecord("q1 query one", frag.encode()),
+                          fasta.SeqRecord("q2", frag2.encode())])
+    return d, lit, q
+
+
+def test_m0_report(searched):
+    d, lit, q = searched
+    out = d / "out.m0"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    text = Path(out).read_text()
+    assert text.startswith("BLASTP 2.2.26+")
+    assert "Reference: Altschul" in text
+    assert "Query= q1 query one" in text
+    assert "Length=80" in text
+    assert "Sequences producing significant alignments:" in text
+    assert " Score = " in text and "Expect = " in text
+    assert "Identities = 80/80 (100%)" in text
+    # alignment block lines with coordinates
+    assert "Query  1    " in text
+    assert "Matrix: BLOSUM62" in text
+    assert "Gap Penalties: Existence: 11, Extension: 1" in text
+    # subject section (ids truncated at indexing time by default)
+    assert "> GYRA_ECOLI" in text
+
+
+def test_sam_output(searched):
+    d, lit, q = searched
+    out = d / "out.sam"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "--sam-with-refheader", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    lines = Path(out).read_text().splitlines()
+    hdr = [l for l in lines if l.startswith("@")]
+    recs = [l.split("\t") for l in lines if not l.startswith("@")]
+    assert any(l.startswith("@HD\tVN:1.4\tGO:query") for l in hdr)
+    assert any(l.startswith(f"@SQ\tSN:GYRA_ECOLI\tLN:{len(GYRA)}") for l in hdr)
+    assert any(l.startswith("@PG\tID:lambda") for l in hdr)
+    assert len(recs) == 2
+    r1 = recs[0]
+    assert r1[0] == "q1"
+    assert r1[1] == "0"           # first match: not secondary
+    assert r1[2] == "GYRA_ECOLI"
+    assert r1[3] == "51"          # 1-based subject pos
+    assert r1[5] == "*"           # BLASTP: no DNA cigar
+    assert r1[9] == "*"           # protein query: no DNA seq
+    tags = {t.split(":")[0]: t.split(":", 2)[2] for t in r1[11:]}
+    assert "AS" in tags and "NM" in tags and "ae" in tags
+    assert tags["NM"] == "0"
+    assert tags["qf"] == "0"
+    r2 = recs[1]
+    assert r2[0] == "q2"
+    t2 = {t.split(":")[0]: t.split(":", 2)[2] for t in r2[11:]}
+    assert t2["NM"] == "2"
+    assert t2["ai"] == "97"
+
+
+def test_sam_blastn_cigar_and_seq(tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    s1 = "".join(rng.choice(list("ACGT"), 240))
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("chr", s1.encode())])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexn", "-d", str(db), "-i", str(lit), "-v", "0").returncode == 0
+    # read with 10nt soft-clippable prefix junk
+    read = "ACGTACGTAA" + s1[60:120]
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("r1", read.encode())])
+    out = tmp_path / "out.sam"
+    r = run_cli("searchn", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "--sam-bam-clip", "soft", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    recs = [l.split("\t") for l in Path(out).read_text().splitlines()
+            if not l.startswith("@")]
+    assert recs, "no SAM records"
+    r1 = recs[0]
+    assert r1[2] == "chr"
+    cigar = r1[5]
+    assert "M" in cigar
+    # soft clip keeps full read in SEQ
+    assert len(r1[9]) == len(read)
+    # CIGAR consumes the whole read: S + M + I sums to read length
+    import re
+
+    consumed = sum(int(n) for n, op in re.findall(r"(\d+)([MIS])", cigar))
+    assert consumed == len(read)
+
+
+def test_bam_output_parses(searched):
+    d, lit, q = searched
+    out = d / "out.bam"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    raw = gzip.open(out, "rb").read()  # bgzf = concatenated gzip members
+    assert raw[:4] == b"BAM\x01"
+    l_text = struct.unpack("<i", raw[4:8])[0]
+    off = 8 + l_text
+    n_ref = struct.unpack("<i", raw[off : off + 4])[0]
+    assert n_ref == 1
+    off += 4
+    l_name = struct.unpack("<i", raw[off : off + 4])[0]
+    name = raw[off + 4 : off + 4 + l_name - 1].decode()
+    assert name == "GYRA_ECOLI"
+    off += 4 + l_name
+    l_ref = struct.unpack("<i", raw[off : off + 4])[0]
+    assert l_ref == len(GYRA)
+    off += 4
+    # first alignment record
+    block_size = struct.unpack("<i", raw[off : off + 4])[0]
+    body = raw[off + 4 : off + 4 + block_size]
+    ref_id, pos, l_rn, mapq, _bin, n_cig, flag, l_seq = struct.unpack(
+        "<iiBBHHHi", body[:20])
+    assert ref_id == 0 and pos == 50 and flag == 0
+    rn = body[32 : 32 + l_rn - 1].decode()
+    assert rn == "q1"
