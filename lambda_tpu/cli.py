@@ -24,14 +24,26 @@ _DOMAIN_OF = {
 }
 
 
+CITATION = ("Hauswedell et al (2014); doi: 10.1093/bioinformatics/btu439\n"
+            "(lambda-tpu is an independent TPU-native reimplementation of "
+            "seqan/lambda)")
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "--version" in argv or "-V" in argv:
+        print(f"lambda-tpu {__version__}")
+        return 0
+    if "--citation" in argv:
+        print(CITATION)
+        return 0
     sub = next((a for a in argv if a in SUBCOMMANDS), None)
     if sub is None:
         print("lambda-tpu — the TPU-native Local Aligner for Massive Biological DatA\n"
               f"version {__version__}\n\n"
               "Usage: lambda-tpu [searchp|searchn|searchbs|"
-              "mkindexp|mkindexn|mkindexbs] [OPTIONS]",
+              "mkindexp|mkindexn|mkindexbs] [OPTIONS]\n\n"
+              f"Citation: {CITATION}",
               file=sys.stderr)
         return 1 if argv else 0
     argv.remove(sub)
@@ -187,6 +199,16 @@ def search_main(sub: str, argv: list[str]) -> int:
     opt.lazy_qry_file = args.lazy_query
     opt.qry_orig_alphabet = args.input_alphabet
     opt.query_batch_size = args.query_batch
+
+    # taxonomy requirements implied by columns/tags
+    # (search_options.hpp:744-760, 812-820)
+    if "staxids" in opt.columns or "st" in opt.sam_bam_tags:
+        opt.has_s_tax_ids = True
+    if ("lcaid" in opt.columns or "lcataxid" in opt.columns
+            or "ls" in opt.sam_bam_tags or "lt" in opt.sam_bam_tags):
+        opt.compute_lca = True
+    if opt.compute_lca:
+        opt.has_s_tax_ids = True
 
     # profiles overwrite manual flags (search_options.hpp:562-563)
     opt_mod.apply_profile(opt, args.profile)

@@ -25,6 +25,8 @@ survivors re-searched with full sensitivity.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -371,8 +373,40 @@ class SearchContext:
 
 
 def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
+    from .. import misc
+
+    if opt.verbosity >= 2:
+        misc.print_search_options(opt)
+    misc.check_ram(opt.index_file, opt.query_file, opt.lazy_qry_file,
+                   opt.verbosity)
+
+    misc.my_print(opt.verbosity, 1, "Loading Database Index... ", end="")
+    t0 = time.time()
     ctx = SearchContext(opt)
     idx = ctx.idx
+    misc.my_print(opt.verbosity, 1, "done.")
+    misc.my_print(opt.verbosity, 2,
+                  f"    # original subjects:   {idx.num_subjects}\n"
+                  f"    # translated subjects: {len(idx.trans_frames)}\n"
+                  f"    size of search space:  {idx.db_total_length}\n"
+                  f"    has taxonomic IDs:     {int(idx.has_s_tax_ids)}\n"
+                  f"    has taxonomic tree:    {int(idx.has_tax_tree)}\n"
+                  f"Runtime: {time.time() - t0:.2f}s\n")
+
+    # query loading: eager reads everything up front (loadQuery,
+    # search_algo.hpp:332-361); lazy streams and only counts first
+    # (countQuery :368-395)
+    if opt.lazy_qry_file:
+        misc.my_print(opt.verbosity, 1, "Counting Query Sequences... ", end="")
+        query_total = fasta.count_seqs(opt.query_file)
+        query_stream = fasta.iter_seqs(opt.query_file)
+    else:
+        misc.my_print(opt.verbosity, 1, "Loading Query Sequences... ", end="")
+        _all_queries = fasta.read_fasta(opt.query_file)
+        query_total = len(_all_queries)
+        query_stream = iter(_all_queries)
+    misc.my_print(opt.verbosity, 1, "done.")
+
     stats = StatsHolder()
 
     if opt.has_s_tax_ids and not idx.has_s_tax_ids:
@@ -442,6 +476,11 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
             writer.write_record(q_global_id, q_seq, matches,
                                 lca_tax=lca_tax, lca_name=lca_name)
 
+    misc.my_print(opt.verbosity, 1,
+                  "Searching and extending hits on-line...progress:")
+    progress = misc.ProgressBar(opt.verbosity >= 1)
+    done = 0
+
     # query stream in batches
     batch_ids: list[str] = []
     batch_seqs: list[np.ndarray] = []
@@ -466,15 +505,19 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
             res = ctx.process_batch(batch_seqs, opt.search_opts, stats)
             for q, ms in sorted(res.items()):
                 write_query_records(batch_ids[q], batch_seqs[q], ms)
+        nonlocal done
+        done += len(batch_ids)
+        progress.update(done, query_total)
         batch_ids.clear()
         batch_seqs.clear()
 
-    for rec in fasta.iter_seqs(opt.query_file):
+    for rec in query_stream:
         batch_ids.append(rec.id)
         batch_seqs.append(ab.encode(rec.seq, ctx.qry_orig_alph))
         if len(batch_seqs) >= opt.query_batch_size:
             flush_batch()
     flush_batch()
+    progress.finish()
 
     writer.write_footer()
     return stats

@@ -1,0 +1,82 @@
+"""End-to-end taxonomy: acc-tax-map + tax dump at index time, staxids /
+lca columns at search time (C12/C13/C22 of SURVEY.md)."""
+
+from pathlib import Path
+
+import pytest
+
+from lambda_tpu.io import fasta
+from tests.test_e2e import GYRA, run_cli, read_m8
+
+
+@pytest.fixture(scope="module")
+def tax_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tax")
+    db = d / "db.fasta"
+    # ids carry UniProt-style accessions (P0AES4, Q9XYZ1)
+    fasta.write_fasta(db, [
+        fasta.SeqRecord("sp|P0AES4|GYRA_ECOLI gyrase", GYRA.encode()),
+        fasta.SeqRecord("sp|P12345|OTHER other protein", GYRA[:200].encode()),
+    ])
+    # NCBI-style accession2taxid mapping
+    acc_map = d / "map.accession2taxid"
+    acc_map.write_text(
+        "accession\taccession.version\ttaxid\tgi\n"
+        "P0AES4\tP0AES4.1\t562\t0\n"      # E. coli
+        "P12345\tP12345.1\t9606\t0\n")    # human
+    # tiny taxonomy: 1=root, 131567=cellular organisms, 2=bacteria,
+    # 2759=eukaryota, 562=E.coli, 9606=human
+    dump = d / "dump"
+    dump.mkdir()
+    (dump / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n"
+        "131567\t|\t1\t|\tno rank\t|\n"
+        "2\t|\t131567\t|\tsuperkingdom\t|\n"
+        "2759\t|\t131567\t|\tsuperkingdom\t|\n"
+        "562\t|\t2\t|\tspecies\t|\n"
+        "9606\t|\t2759\t|\tspecies\t|\n")
+    (dump / "names.dmp").write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "131567\t|\tcellular organisms\t|\t\t|\tscientific name\t|\n"
+        "2\t|\tBacteria\t|\t\t|\tscientific name\t|\n"
+        "2759\t|\tEukaryota\t|\t\t|\tscientific name\t|\n"
+        "562\t|\tEscherichia coli\t|\t\t|\tscientific name\t|\n"
+        "9606\t|\tHomo sapiens\t|\t\t|\tscientific name\t|\n")
+    lit = d / "db.lit"
+    r = run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                "-m", str(acc_map), "-x", str(dump), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    return d, lit
+
+
+def test_staxids_and_lca_columns(tax_setup):
+    d, lit = tax_setup
+    q = d / "q.fasta"
+    # query hits both subjects -> LCA should walk up to 'cellular organisms'
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", GYRA[50:150].encode())])
+    out = d / "out.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "--output-columns", "std staxids lcaid lcataxid",
+                "-n", "5", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    assert len(rows) == 2
+    staxids = {row[1]: row[12] for row in rows}
+    assert staxids["sp|P0AES4|GYRA_ECOLI"] == "562"
+    assert staxids["sp|P12345|OTHER"] == "9606"
+    # LCA of E.coli and human in the thinned tree
+    assert rows[0][13] == "cellular organisms"
+    assert rows[0][14] == "131567"
+
+
+def test_lca_single_subject(tax_setup):
+    d, lit = tax_setup
+    q = d / "q.fasta2"
+    # query only hits the tail of GYRA (not in the 200aa OTHER prefix)
+    fasta.write_fasta(q, [fasta.SeqRecord("q2", GYRA[300:400].encode())])
+    out = d / "out2.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "--output-columns", "std lcataxid", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    assert rows and rows[0][12] == "562"
