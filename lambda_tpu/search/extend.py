@@ -15,11 +15,24 @@ Port of ``/root/reference/src/search_algo.hpp``:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from ..ops import sw_xla
+from ..ops import sw_xla, sw_pallas
+
+
+def _use_pallas() -> bool:
+    """Pallas score kernel on real TPU backends; XLA scan fallback on CPU
+    (Mosaic interpret mode is far too slow for production CPU use)."""
+    mode = os.environ.get("LAMBDA_SW_KERNEL", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.default_backend() not in ("cpu",)
 
 
 def band_size(qlen: int | np.ndarray):
@@ -161,6 +174,10 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
 
     dev_fwd = jnp.asarray(subst_ext_fwd)
     dev_rev = jnp.asarray(subst_ext_rev)
+    use_pallas = not with_trace and _use_pallas()
+    if use_pallas:
+        e8_fwd = sw_pallas.ext8_from_ext32(subst_ext_fwd)
+        e8_rev = sw_pallas.ext8_from_ext32(subst_ext_rev)
 
     for (qbk, sbk, r), idxs in group_keys.items():
         B = len(idxs)
@@ -184,6 +201,9 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
                     q0, s0, ops = sw_xla.traceback(
                         dirs, bi2, int(bi_[bi2]), int(bj_[bi2]), qbk)
                     traces[i] = (q0, s0, ops)
+        elif use_pallas:
+            scores[idxs] = sw_pallas.sw_score_pallas(
+                qarr, sarr, e8_rev if r else e8_fwd, gap_first, gap_extend)
         else:
             best, _, _ = sw_xla.sw_score_batch(
                 jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first, gap_extend)

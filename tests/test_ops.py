@@ -202,3 +202,46 @@ def test_sw_gap_alignment():
     q0, s0, ops = sw_xla.traceback(np.asarray(dirs), 0, int(bi[0]), int(bj[0]), 8)
     assert sum(r for op, r in ops if op == "D") == 2
     assert sw_xla.score_of_ops(q, s, q0, s0, ops, subst, gf, ge) == 11
+
+
+# ---------------------------------------------------------------------------
+# Pallas SW score kernel (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+
+def test_sw_pallas_matches_reference():
+    from lambda_tpu.ops import sw_pallas
+
+    A = 27
+    rng = np.random.default_rng(7)
+    subst = rng.integers(-4, 6, size=(A, A)).astype(np.int32)
+    np.fill_diagonal(subst, rng.integers(4, 12, size=A))
+    e8 = sw_pallas.extend_matrix8(subst)
+
+    B, M, N = 5, 33, 47
+    q = rng.integers(0, A, size=(B, M)).astype(np.int32)
+    s = rng.integers(0, A, size=(B, N)).astype(np.int32)
+    qlen = rng.integers(4, M + 1, size=B)
+    slen = rng.integers(4, N + 1, size=B)
+    for b in range(B):
+        q[b, qlen[b]:] = A
+        s[b, slen[b]:] = A
+
+    got = sw_pallas.sw_score_pallas(q, s, e8, -12, -1, interpret=True)
+    want = np.array([
+        sw_xla.sw_reference(q[b, :qlen[b]], s[b, :slen[b]], subst, -12, -1)
+        for b in range(B)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sw_pallas_ext8_roundtrip():
+    from lambda_tpu.ops import sw_pallas
+
+    A = 5
+    subst = np.arange(A * A).reshape(A, A).astype(np.int32) - 12
+    ext32 = sw_xla.extend_matrix(subst)
+    e8 = sw_pallas.ext8_from_ext32(ext32)
+    assert e8.shape == (A + 1, A + 1)
+    np.testing.assert_array_equal(e8[:A, :A], subst)
+    assert (e8[A, :] == sw_pallas.PAD_SCORE8).all()
+    assert (e8[:, A] == sw_pallas.PAD_SCORE8).all()
