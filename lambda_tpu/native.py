@@ -1,0 +1,166 @@
+"""ctypes loader for the native C++ runtime helpers (native/lambda_native.cpp).
+
+The reference's runtime is C++ throughout; this module provides the
+host-side native pieces of the TPU framework: the SW traceback pass over
+extension survivors and BGZF block compression for BAM output.  The
+library is compiled on first use with g++ (cached under
+``~/.cache/lambda_tpu``); every entry point has a pure-Python fallback at
+its call site, so a missing toolchain degrades gracefully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent.parent / "native" / "lambda_native.cpp"
+_lib = None
+_tried = False
+
+
+def _build() -> Path | None:
+    if not _SRC.exists():
+        return None
+    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    cache = Path(os.environ.get("LAMBDA_NATIVE_CACHE",
+                                Path.home() / ".cache" / "lambda_tpu"))
+    cache.mkdir(parents=True, exist_ok=True)
+    so = cache / f"liblambda_native-{tag}.so"
+    if so.exists():
+        return so
+    tmp = so.with_suffix(".so.tmp")
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-fopenmp", "-march=native",
+           str(_SRC), "-o", str(tmp), "-lz"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return None
+    os.replace(tmp, so)
+    return so
+
+
+def get_lib():
+    """Returns the loaded ctypes library or None."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("LAMBDA_NO_NATIVE"):
+        return None
+    so = _build()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.sw_traceback_batch.argtypes = [
+        i32p, ctypes.c_int32, i32p,          # q, q_stride, qlen
+        i32p, ctypes.c_int32, i32p,          # s, s_stride, slen
+        ctypes.c_int32,                      # B
+        i32p, ctypes.c_int32,                # subst, alph
+        i32p, u8p,                           # subst_rev, use_rev
+        ctypes.c_int32, ctypes.c_int32,      # gap_first, gap_extend
+        i32p, i32p, i32p, i32p, i32p,        # score, q0, s0, qe, se
+        u8p, ctypes.c_int32, i32p,           # ops, ops_stride, ops_len
+    ]
+    lib.sw_traceback_batch.restype = None
+    lib.bgzf_compress_block.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32,
+                                        u8p, ctypes.c_int32]
+    lib.bgzf_compress_block.restype = ctypes.c_int32
+    _lib = lib
+    return _lib
+
+
+def _ptr(a: np.ndarray, typ):
+    return a.ctypes.data_as(typ)
+
+
+def sw_traceback_batch(q_list, s_list, subst: np.ndarray,
+                       gap_first: int, gap_extend: int,
+                       subst_rev: np.ndarray | None = None,
+                       use_rev: np.ndarray | None = None):
+    """Batched local SW with traceback on the host.
+
+    q_list/s_list: sequences (1-D int arrays of ranks).  Returns
+    (scores, traces) where traces[i] = (q0, s0, [(op, run), ...]) in the
+    conventions of ops/sw_xla.traceback, or None for score-0 alignments.
+    """
+    lib = get_lib()
+    assert lib is not None
+    B = len(q_list)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    qs = max((len(x) for x in q_list), default=1) or 1
+    ss = max((len(x) for x in s_list), default=1) or 1
+    q = np.zeros((B, qs), dtype=np.int32)
+    s = np.zeros((B, ss), dtype=np.int32)
+    qlen = np.zeros(B, dtype=np.int32)
+    slen = np.zeros(B, dtype=np.int32)
+    for i, (qq, sq) in enumerate(zip(q_list, s_list)):
+        q[i, :len(qq)] = qq
+        s[i, :len(sq)] = sq
+        qlen[i] = len(qq)
+        slen[i] = len(sq)
+    alph = subst.shape[0]
+    sub = np.ascontiguousarray(subst, dtype=np.int32)
+    sub_rev = (np.ascontiguousarray(subst_rev, dtype=np.int32)
+               if subst_rev is not None else None)
+    urev = (np.ascontiguousarray(use_rev, dtype=np.uint8)
+            if use_rev is not None else None)
+
+    score = np.zeros(B, dtype=np.int32)
+    q0 = np.zeros(B, dtype=np.int32)
+    s0 = np.zeros(B, dtype=np.int32)
+    qe = np.zeros(B, dtype=np.int32)
+    se = np.zeros(B, dtype=np.int32)
+    ops_stride = qs + ss + 2
+    ops = np.zeros((B, ops_stride), dtype=np.uint8)
+    ops_len = np.zeros(B, dtype=np.int32)
+
+    lib.sw_traceback_batch(
+        _ptr(q, i32p), qs, _ptr(qlen, i32p),
+        _ptr(s, i32p), ss, _ptr(slen, i32p),
+        B, _ptr(sub, i32p), alph,
+        _ptr(sub_rev, i32p) if sub_rev is not None else None,
+        _ptr(urev, u8p) if urev is not None else None,
+        int(gap_first), int(gap_extend),
+        _ptr(score, i32p), _ptr(q0, i32p), _ptr(s0, i32p),
+        _ptr(qe, i32p), _ptr(se, i32p),
+        _ptr(ops, u8p), ops_stride, _ptr(ops_len, i32p))
+
+    traces = []
+    for b in range(B):
+        if score[b] <= 0:
+            traces.append(None)
+            continue
+        raw = ops[b, :ops_len[b]].tobytes().decode("ascii")
+        rle: list[tuple[str, int]] = []
+        for ch in raw:
+            if rle and rle[-1][0] == ch:
+                rle[-1] = (ch, rle[-1][1] + 1)
+            else:
+                rle.append((ch, 1))
+        traces.append((int(q0[b]), int(s0[b]), rle))
+    return score.astype(np.int64), traces
+
+
+def bgzf_compress_block(data: bytes, level: int = 6) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros(len(data) + 4096, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.bgzf_compress_block(_ptr(src, u8p), len(data), level,
+                                _ptr(out, u8p), len(out))
+    if n < 0:
+        return None
+    return out[:n].tobytes()

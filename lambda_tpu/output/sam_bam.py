@@ -390,14 +390,18 @@ class SamBamWriter:
             self._bgzf_buf = self._bgzf_buf[0xFF00:]
 
     def _bgzf_flush_block(self, chunk: bytes) -> None:
-        co = zlib.compressobj(6, zlib.DEFLATED, -15)
-        comp = co.compress(chunk) + co.flush()
-        bsize = len(comp) + 25 + 1
-        blk = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00BC\x02\x00"
-               + struct.pack("<H", bsize)
-               + comp
-               + struct.pack("<I", zlib.crc32(chunk) & 0xFFFFFFFF)
-               + struct.pack("<I", len(chunk)))
+        from .. import native
+        blk = native.bgzf_compress_block(chunk)
+        if blk is None:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            comp = co.compress(chunk) + co.flush()
+            # BSIZE field = total block size minus 1 (SAM spec 4.1)
+            bsize = len(comp) + 26
+            blk = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00BC\x02\x00"
+                   + struct.pack("<H", bsize - 1)
+                   + comp
+                   + struct.pack("<I", zlib.crc32(chunk) & 0xFFFFFFFF)
+                   + struct.pack("<I", len(chunk)))
         self.fh.write(blk)
 
     def write_footer(self) -> None:

@@ -1,0 +1,223 @@
+// Native runtime helpers for lambda_tpu.
+//
+// The reference implements these in C++ via its submodules; here they are
+// TPU-framework host-side equivalents:
+//
+//  * sw_traceback_batch — the traceback pass of the two-pass extension
+//    (pass 2 over e-value survivors, /root/reference/src/search_algo.hpp:1296
+//    via SeqAn2).  The score pass runs on the TPU (Pallas); survivors are
+//    few, and a host DP avoids shipping per-cell direction matrices over
+//    the device link.  Semantics (tie-breaking, best-cell selection, gap
+//    convention) replicate lambda_tpu/ops/sw_xla.py exactly so outputs are
+//    identical whichever path runs.
+//
+//  * bgzf_compress_block — BGZF block encoding for BAM output (the
+//    reference uses SeqAn2's bgzf writer; ours mirrors the format:
+//    gzip member with BC extra field, raw-deflate payload).
+//
+// Build: g++ -O3 -fPIC -shared -fopenmp lambda_native.cpp -o liblambda_native.so -lz
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Smith-Waterman with affine gaps + traceback (local, free end gaps).
+//
+// Conventions (identical to ops/sw_xla.py and search_algo.hpp:226-230):
+//   gap_first  = score of a gap's first char (open+extend), negative
+//   gap_extend = score of each further gap char, negative
+//   'M' consumes both, 'D' consumes subject only, 'I' consumes query only.
+//
+// Direction encoding per cell (same as sw_xla):
+//   bits 0-1: H source (0 stop, 1 diag, 2 from E, 3 from F)
+//   bit 2: E came from E (extend) on ties-prefer-extend
+//   bit 3: F came from F (extend)
+// Best cell: maximum H; ties broken by smallest (i+j), then smallest i —
+// matching the first-maximum-in-(antidiagonal, row)-scan-order rule of the
+// device kernel.
+// ---------------------------------------------------------------------------
+
+static const int32_t NEG = -(1 << 24);
+
+// Align one pair; returns score.  ops buffer receives single-char ops
+// from alignment END to START (caller reverses); *ops_len set.
+static int32_t sw_one(const int32_t* q, int32_t qlen,
+                      const int32_t* s, int32_t slen,
+                      const int32_t* subst, int32_t alph,
+                      int32_t gap_first, int32_t gap_extend,
+                      int32_t* q0_out, int32_t* s0_out,
+                      int32_t* qe_out, int32_t* se_out,
+                      uint8_t* ops, int32_t ops_cap, int32_t* ops_len) {
+    const int64_t W = (int64_t)slen + 1;
+    std::vector<int32_t> H((int64_t)(qlen + 1) * W, 0);
+    std::vector<int32_t> E((int64_t)(qlen + 1) * W, NEG);
+    std::vector<int32_t> F((int64_t)(qlen + 1) * W, NEG);
+    std::vector<uint8_t> D((int64_t)(qlen + 1) * W, 0);
+
+    int32_t best = 0, bi = 0, bj = 0;
+    int64_t bestd = INT64_MAX;
+
+    for (int32_t i = 1; i <= qlen; ++i) {
+        const int32_t* srow = subst + (int64_t)q[i - 1] * alph;
+        for (int32_t j = 1; j <= slen; ++j) {
+            const int64_t c = (int64_t)i * W + j;
+            const int64_t cl = c - 1;        // (i, j-1)
+            const int64_t cu = c - W;        // (i-1, j)
+            const int64_t cd = cu - 1;       // (i-1, j-1)
+            int32_t e_ext = E[cl] + gap_extend;
+            int32_t e_opn = H[cl] + gap_first;
+            int32_t e = e_ext >= e_opn ? e_ext : e_opn;
+            int32_t f_ext = F[cu] + gap_extend;
+            int32_t f_opn = H[cu] + gap_first;
+            int32_t f = f_ext >= f_opn ? f_ext : f_opn;
+            int32_t diag = H[cd] + srow[s[j - 1]];
+            int32_t h = 0;
+            if (diag > h) h = diag;
+            if (e > h) h = e;
+            if (f > h) h = f;
+            uint8_t code = 0;
+            if (h > 0) {
+                // priority on ties: diag > E > F (matches sw_xla)
+                if (h == f) code = 3;
+                if (h == e) code = 2;
+                if (h == diag) code = 1;
+            }
+            if (e_ext >= e_opn) code |= 4;
+            if (f_ext >= f_opn) code |= 8;
+            H[c] = h;
+            E[c] = e;
+            F[c] = f;
+            D[c] = code;
+            const int64_t d = (int64_t)i + j;
+            if (h > best ||
+                (h == best && h > 0 &&
+                 (d < bestd || (d == bestd && i < bi)))) {
+                best = h;
+                bi = i;
+                bj = j;
+                bestd = d;
+            }
+        }
+    }
+
+    // traceback (sw_xla.traceback)
+    int32_t i = bi, j = bj, n = 0;
+    char state = 'H';
+    while (true) {
+        uint8_t code = (i + j >= 2 && i >= 0 && j >= 0)
+                           ? D[(int64_t)i * W + j] : 0;
+        if (state == 'H') {
+            uint8_t h = code & 3;
+            if (h == 0 || i <= 0 || j <= 0) break;
+            if (h == 1) {
+                if (n < ops_cap) ops[n] = 'M';
+                ++n; --i; --j;
+            } else if (h == 2) {
+                state = 'E';
+            } else {
+                state = 'F';
+            }
+        } else if (state == 'E') {
+            if (n < ops_cap) ops[n] = 'D';
+            ++n;
+            bool ext = code & 4;
+            --j;
+            state = ext ? 'E' : 'H';
+        } else {
+            if (n < ops_cap) ops[n] = 'I';
+            ++n;
+            bool ext = code & 8;
+            --i;
+            state = ext ? 'F' : 'H';
+        }
+    }
+    *q0_out = i;
+    *s0_out = j;
+    *qe_out = bi;
+    *se_out = bj;
+    *ops_len = n;
+    return best;
+}
+
+// Batched entry point.  q/s are (B, q_stride)/(B, s_stride) row-major
+// int32 rank arrays; per-row lengths in qlen/slen.  ops_out is
+// (B, ops_stride) uint8 receiving ops from alignment START to END.
+void sw_traceback_batch(const int32_t* q, int32_t q_stride,
+                        const int32_t* qlen,
+                        const int32_t* s, int32_t s_stride,
+                        const int32_t* slen, int32_t B,
+                        const int32_t* subst, int32_t alph,
+                        // bisulfite: optional second matrix + per-row flag
+                        const int32_t* subst_rev, const uint8_t* use_rev,
+                        int32_t gap_first, int32_t gap_extend,
+                        int32_t* score_out, int32_t* q0_out, int32_t* s0_out,
+                        int32_t* qe_out, int32_t* se_out,
+                        uint8_t* ops_out, int32_t ops_stride,
+                        int32_t* ops_len_out) {
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int32_t b = 0; b < B; ++b) {
+        const int32_t* mat =
+            (subst_rev && use_rev && use_rev[b]) ? subst_rev : subst;
+        uint8_t* ops = ops_out + (int64_t)b * ops_stride;
+        int32_t n = 0;
+        score_out[b] = sw_one(q + (int64_t)b * q_stride, qlen[b],
+                              s + (int64_t)b * s_stride, slen[b],
+                              mat, alph, gap_first, gap_extend,
+                              &q0_out[b], &s0_out[b], &qe_out[b], &se_out[b],
+                              ops, ops_stride, &n);
+        if (n > ops_stride) n = ops_stride;
+        std::reverse(ops, ops + n);
+        ops_len_out[b] = n;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// BGZF block compression (BAM container).  Encodes `len` input bytes
+// (must be <= 65535) as one BGZF block into out (cap >= 65536+64);
+// returns block size or -1.
+// ---------------------------------------------------------------------------
+
+int32_t bgzf_compress_block(const uint8_t* data, int32_t len, int32_t level,
+                            uint8_t* out, int32_t out_cap) {
+    if (len > 65535) return -1;
+    // raw deflate
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK)
+        return -1;
+    std::vector<uint8_t> comp(len + 1024);
+    zs.next_in = const_cast<uint8_t*>(data);
+    zs.avail_in = len;
+    zs.next_out = comp.data();
+    zs.avail_out = comp.size();
+    if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+        deflateEnd(&zs);
+        return -1;
+    }
+    int32_t clen = (int32_t)zs.total_out;
+    deflateEnd(&zs);
+
+    int32_t bsize = 18 + clen + 8;  // header + payload + crc32/isize
+    if (bsize > out_cap) return -1;
+    uint8_t* p = out;
+    const uint8_t hdr[16] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
+                             6, 0, 'B', 'C', 2, 0};
+    std::memcpy(p, hdr, 16);
+    uint16_t bs16 = (uint16_t)(bsize - 1);
+    p[16] = bs16 & 0xff;
+    p[17] = bs16 >> 8;
+    std::memcpy(p + 18, comp.data(), clen);
+    uint32_t crc = crc32(0, data, len);
+    uint32_t isz = (uint32_t)len;
+    std::memcpy(p + 18 + clen, &crc, 4);
+    std::memcpy(p + 18 + clen + 4, &isz, 4);
+    return bsize;
+}
+
+}  // extern "C"

@@ -1,0 +1,95 @@
+"""Native C++ helper tests: SW traceback parity with the device/XLA path,
+and BGZF block format validation."""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from lambda_tpu import native
+from lambda_tpu.ops import sw_xla
+
+
+needs_native = pytest.mark.skipif(native.get_lib() is None,
+                                  reason="native toolchain unavailable")
+
+
+@needs_native
+def test_native_traceback_matches_xla():
+    import jax.numpy as jnp
+
+    A = 6
+    rng = np.random.default_rng(11)
+    subst = rng.integers(-3, 4, size=(A, A)).astype(np.int32)
+    np.fill_diagonal(subst, 5)
+    ext = sw_xla.extend_matrix(subst)
+
+    B = 12
+    q_list = [rng.integers(0, A, size=rng.integers(5, 40)).astype(np.int32)
+              for _ in range(B)]
+    s_list = [rng.integers(0, A, size=rng.integers(5, 50)).astype(np.int32)
+              for _ in range(B)]
+
+    scores, traces = native.sw_traceback_batch(q_list, s_list, ext, -7, -2)
+
+    # XLA path, one by one (bucket-free comparison)
+    for b in range(B):
+        qp = np.full((1, 64), A, dtype=np.int32)
+        sp = np.full((1, 64), A, dtype=np.int32)
+        qp[0, :len(q_list[b])] = q_list[b]
+        sp[0, :len(s_list[b])] = s_list[b]
+        best, bi, bj, dirs = sw_xla.sw_align_batch(
+            jnp.asarray(qp), jnp.asarray(sp), jnp.asarray(ext), -7, -2)
+        best = int(np.asarray(best)[0])
+        assert scores[b] == best
+        if best <= 0:
+            assert traces[b] is None
+            continue
+        q0, s0, ops = sw_xla.traceback(
+            np.asarray(dirs), 0, int(np.asarray(bi)[0]),
+            int(np.asarray(bj)[0]), 64)
+        assert traces[b] == (q0, s0, ops)
+        # score recomputed from ops must equal reported score
+        got = sw_xla.score_of_ops(q_list[b], s_list[b], *traces[b],
+                                  subst, -7, -2)
+        assert got == best
+
+
+@needs_native
+def test_native_bgzf_block():
+    data = b"The quick brown fox jumps over the lazy dog" * 100
+    blk = native.bgzf_compress_block(data)
+    assert blk is not None
+    # gzip-decodable
+    assert gzip.decompress(blk) == data
+    # BSIZE extra field = total size - 1 (SAM spec 4.1)
+    assert blk[:4] == b"\x1f\x8b\x08\x04"
+    xlen = struct.unpack("<H", blk[10:12])[0]
+    assert xlen == 6 and blk[12:14] == b"BC"
+    bsize = struct.unpack("<H", blk[16:18])[0]
+    assert bsize == len(blk) - 1
+
+
+def test_python_bgzf_block_fallback(tmp_path, monkeypatch):
+    """The pure-Python bgzf fallback must emit spec-conformant blocks."""
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    from lambda_tpu.output import sam_bam
+
+    class FH:
+        def __init__(self):
+            self.data = b""
+        def write(self, b):
+            self.data += b
+        def close(self):
+            pass
+
+    w = sam_bam.SamBamWriter.__new__(sam_bam.SamBamWriter)
+    w.fh = FH()
+    chunk = b"payload" * 500
+    w._bgzf_flush_block(chunk)
+    blk = w.fh.data
+    assert gzip.decompress(blk) == chunk
+    bsize = struct.unpack("<H", blk[16:18])[0]
+    assert bsize == len(blk) - 1
