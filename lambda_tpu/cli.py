@@ -10,8 +10,15 @@ mkindexp, mkindexn, mkindexbs, with the reference's flag names
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+# Persistent XLA compilation cache: bucket-shaped kernels recompile across
+# CLI invocations otherwise (first compile on TPU is tens of seconds).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/lambda_tpu/jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 from . import __version__, options as opt_mod
 from .options import Domain

@@ -17,10 +17,15 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
-UINT32_MAX = jnp.uint32(0xFFFFFFFF)
+# numpy scalar, NOT jnp: a module-level device scalar would be
+# captured as a traced-constant in every jit and force a blocking
+# device sync at trace time
+UINT32_MAX = np.uint32(0xFFFFFFFF)
 
 
 def length_masks(lengths: jnp.ndarray, bits: int, cpw: int, words: int) -> jnp.ndarray:
