@@ -97,3 +97,18 @@ def make_variants(seed_chars: jnp.ndarray, positions: np.ndarray,
         axis=1)  # (N, V)
     valid = is_identity[None, :] | (orig_at_pos != rep[None, :])
     return expanded, valid
+
+
+def pigeon_chunks(k: int, delta: int):
+    """Pigeonhole partition of a k-length seed into delta+1 chunks
+    (search-scheme ``pigeon_opt`` equivalent: any occurrence with <=delta
+    mismatches matches at least one chunk exactly).
+
+    Returns (offsets, lengths) int32 arrays of shape (delta+1,); longer
+    chunks come first (remainder distributed to the leading chunks).
+    """
+    parts = delta + 1
+    base = k // parts
+    lens = [base + (1 if i < k % parts else 0) for i in range(parts)]
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int32)
+    return offs, np.array(lens, dtype=np.int32)

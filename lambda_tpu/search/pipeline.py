@@ -132,6 +132,21 @@ class SearchContext:
                              if idx.trans_alph == ab.AMINO_ACID else 4)
 
         self._seeders: dict = {}
+        self._d_red_sbj = None
+
+    @property
+    def d_red_sbj(self):
+        """Reduced-alphabet subject concat (device); needed only by
+        pigeonhole (delta >= 2) verification, built lazily."""
+        if self._d_red_sbj is None:
+            o = self.idx.trans_offsets
+            tf = [self.idx.trans_concat[o[i]:o[i + 1]]
+                  for i in range(len(o) - 1)]
+            red = fr.reduce_frames(tf, self.idx.trans_alph, self.idx.red_alph)
+            cat = (np.concatenate(red) if red
+                   else np.zeros(0, np.uint8)).astype(np.int8)
+            self._d_red_sbj = jnp.asarray(cat)
+        return self._d_red_sbj
 
     def query_frame(self, q_seq: np.ndarray, frame_idx: int) -> np.ndarray:
         """Regenerate one translated frame of a query (used at output time
@@ -257,11 +272,15 @@ class SearchContext:
             out[:ncur] = a
             return jnp.asarray(out)
 
+        pigeon = so.max_seed_dist >= 2
+        d_red_sbj = self.d_red_sbj if pigeon \
+            else jnp.zeros(1, jnp.int8)
         res2 = stage2(self.d_pos, self.d_frame, self.d_sbj_offsets,
                       self.d_sbj_lens, self.d_trans_sbj, d_trans_q, d_qlens,
                       padded(flat["lo"]), padded(flat["count"]),
                       padded(flat["seed_len"]), padded(flat["frame"]),
-                      padded(flat["begin"]),
+                      padded(flat["begin"]), padded(flat["shift"]),
+                      d_red_q, d_red_sbj,
                       self.d_sub_fwd, self.d_sub_rev)
         hits = {k: np.asarray(v) for k, v in res2.items() if k != "stats"}
         st2 = {k: int(v) for k, v in res2["stats"].items()}

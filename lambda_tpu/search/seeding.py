@@ -132,12 +132,30 @@ def compute_seed_slots(trans_frames: list[np.ndarray], qry_num_frames: int,
 
 def make_seeder(cfg: SeedConfig):
     """Build the two jitted stages for a config.  Device arrays are passed
-    as arguments so one compilation serves all batches."""
+    as arguments so one compilation serves all batches.
 
-    positions, replacements = kmer.variant_table(
-        cfg.seed_length, cfg.max_seed_dist, cfg.alphabet_size, cfg.half_exact)
-    V = len(positions)
+    delta <= 1 seeds enumerate explicit variants (search_impl /
+    searchHalfExactImpl equivalents); delta >= 2 uses PIGEONHOLE seeding
+    (search_pseudo with pigeon_opt schemes,
+    search_datastructures.hpp:506-510): the seed is split into delta+1
+    chunks, each chunk is searched exactly as an anchor, and stage 2
+    verifies <= delta mismatches over the whole seed in reduced space
+    (with chunk-provenance dedup so each occurrence is reported once).
+    Adaptive elongation is disabled in pigeonhole mode (the reference
+    extends the full approximate seed via its FM cursor; chunk anchors
+    have no equivalent cursor)."""
+
     k = cfg.seed_length
+    pigeon = cfg.max_seed_dist >= 2
+    if pigeon:
+        chunk_off, chunk_len = kmer.pigeon_chunks(k, cfg.max_seed_dist)
+        V = len(chunk_off)
+        positions = replacements = None
+    else:
+        positions, replacements = kmer.variant_table(
+            cfg.seed_length, cfg.max_seed_dist, cfg.alphabet_size,
+            cfg.half_exact)
+        V = len(positions)
     bits, cpw, words = cfg.bits, cfg.cpw, cfg.words
 
     @jax.jit
@@ -160,15 +178,33 @@ def make_seeder(cfg: SeedConfig):
             valid_slot = g >= 0
             gs = jnp.maximum(g, 0)
 
-            # gather seed chars (Q, k)
-            idx = begin[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
-            chars = red_q[gs[:, None], jnp.clip(idx, 0, red_q.shape[1] - 1)]
+            if pigeon:
+                # chunk anchors: variant v = chunk v searched exactly
+                coff = jnp.asarray(chunk_off)            # (V,)
+                clen = jnp.asarray(chunk_len)            # (V,)
+                ckmax = int(chunk_len.max())
+                idx = (begin[:, None, None] + coff[None, :, None]
+                       + jnp.arange(ckmax, dtype=jnp.int32)[None, None, :])
+                variants = red_q[gs[:, None, None],
+                                 jnp.clip(idx, 0, red_q.shape[1] - 1)]
+                lens = jnp.broadcast_to(clen[None, :], (Q, V))
+                vvalid = jnp.broadcast_to(valid_slot[:, None], (Q, V))
+                targets = kmer.pack_prefix(variants, lens, bits, cpw, words)
+                masks = ss.length_masks(lens, bits, cpw, words)
+                shift = jnp.broadcast_to(coff[None, :], (Q, V))
+            else:
+                # gather seed chars (Q, k)
+                idx = begin[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+                chars = red_q[gs[:, None], jnp.clip(idx, 0, red_q.shape[1] - 1)]
 
-            variants, vvalid = kmer.make_variants(chars, positions, replacements)
-            vvalid = vvalid & valid_slot[:, None]
-            targets = kmer.pack_prefix(
-                variants, jnp.full((Q, V), k, jnp.int32), bits, cpw, words)
-            masks = ss.length_masks(jnp.full((Q, V), k, jnp.int32), bits, cpw, words)
+                variants, vvalid = kmer.make_variants(chars, positions,
+                                                      replacements)
+                vvalid = vvalid & valid_slot[:, None]
+                targets = kmer.pack_prefix(
+                    variants, jnp.full((Q, V), k, jnp.int32), bits, cpw, words)
+                masks = ss.length_masks(jnp.full((Q, V), k, jnp.int32),
+                                        bits, cpw, words)
+                shift = jnp.zeros((Q, V), jnp.int32)
 
             tf = targets.reshape(Q * V, words)
             mf = masks.reshape(Q * V, words)
@@ -182,7 +218,7 @@ def make_seeder(cfg: SeedConfig):
 
             seed_len = jnp.full((Q, V), k, jnp.int32)
 
-            if cfg.adaptive and cfg.ext_max > 0:
+            if cfg.adaptive and cfg.ext_max > 0 and not pigeon:
                 # desiredOccs (search_algo.hpp:695-700)
                 desired = jnp.where(
                     hits_this_seq >= cfg.max_matches,
@@ -235,7 +271,8 @@ def make_seeder(cfg: SeedConfig):
 
             out = dict(lo=lo, count=kept_count, seed_len=seed_len,
                        frame=jnp.broadcast_to(gs[:, None], (Q, V)),
-                       begin=jnp.broadcast_to(begin[:, None], (Q, V)))
+                       begin=jnp.broadcast_to(begin[:, None], (Q, V)),
+                       shift=shift)
             return hits_this_seq, out
 
         slots = (slot_frame.T, slot_begin.T, slot_rem.T)  # (T, Q) each
@@ -249,10 +286,13 @@ def make_seeder(cfg: SeedConfig):
     def stage2(kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
                trans_sbj, trans_q, tq_lens,
                cur_lo, cur_count, cur_seedlen, cur_frame, cur_begin,
+               cur_shift, red_q, red_sbj,
                subst_fwd, subst_rev):
-        """Flat locate + prescore.
+        """Flat locate (+ pigeonhole verification) + prescore.
 
         cur_*: (C,) compacted cursor arrays (count>0), C static = max_cursors.
+        red_q/red_sbj: reduced-alphabet query frames / subject concat
+        (used only in pigeonhole mode for the mismatch verification).
         Returns per-hit arrays of length cfg.max_hits + pass flags + stats.
         """
         C = cur_lo.shape[0]
@@ -271,11 +311,35 @@ def make_seeder(cfg: SeedConfig):
         row = cur_lo[cursor_of] + occ
         pos = kmer_pos[jnp.clip(row, 0, kmer_pos.shape[0] - 1)].astype(jnp.int32)
         sframe = kmer_frame[jnp.clip(row, 0, kmer_frame.shape[0] - 1)].astype(jnp.int32)
-        s_off = pos - sbj_offsets[sframe]
+        s_off = pos - sbj_offsets[sframe] - cur_shift[cursor_of]
 
         qframe = cur_frame[cursor_of]
         qbegin = cur_begin[cursor_of]
         slen_seed = cur_seedlen[cursor_of]
+
+        if pigeon:
+            # verify <= delta mismatches over the full seed in reduced
+            # space; accept only from the FIRST exactly-matching chunk
+            rk = jnp.arange(k, dtype=jnp.int32)
+            q_r = red_q[jnp.clip(qframe, 0, red_q.shape[0] - 1)[:, None],
+                        jnp.clip(qbegin[:, None] + rk[None, :], 0,
+                                 red_q.shape[1] - 1)]
+            s_abs = sbj_offsets[sframe][:, None] + s_off[:, None] + rk[None, :]
+            s_r = red_sbj[jnp.clip(s_abs, 0, red_sbj.shape[0] - 1)] \
+                .astype(jnp.int32)
+            mism = (q_r != s_r)                           # (Hn, k) bool
+            in_bounds = (s_off >= 0) & (s_off + k <= sbj_lens[sframe])
+            n_mism = jnp.sum(mism.astype(jnp.int32), axis=1)
+            ok = in_bounds & (n_mism <= cfg.max_seed_dist)
+            # provenance: chunk id of this cursor, and exactness per chunk
+            cidx = jnp.searchsorted(jnp.asarray(chunk_off),
+                                    cur_shift[cursor_of]).astype(jnp.int32)
+            dup = jnp.zeros(Hn, bool)
+            for c in range(V):
+                region = mism[:, chunk_off[c]:chunk_off[c] + chunk_len[c]]
+                exact_c = ~jnp.any(region, axis=1)
+                dup = dup | (exact_c & (c < cidx))
+            hit_valid = hit_valid & ok & ~dup
 
         if cfg.pre_scoring > 0:
             # seedLooksPromising (search_algo.hpp:426-481)
