@@ -75,6 +75,9 @@ def get_lib():
     lib.bgzf_compress_block.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32,
                                         u8p, ctypes.c_int32]
     lib.bgzf_compress_block.restype = ctypes.c_int32
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.merge_passes.argtypes = [i64p] * 6 + [u8p, ctypes.c_int64]
+    lib.merge_passes.restype = None
     _lib = lib
     return _lib
 
@@ -164,3 +167,19 @@ def bgzf_compress_block(data: bytes, level: int = 6) -> bytes | None:
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def merge_passes(qid, sid, qs, qe, ss, se):
+    """In-place widen/merge passes over pre-sorted match rows (exact
+    replication of search_algo.hpp:1148-1169).  Arrays must be
+    contiguous int64; returns the unique-keep mask."""
+    lib = get_lib()
+    assert lib is not None
+    n = len(qid)
+    keep = np.zeros(n, dtype=np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.merge_passes(*(a.ctypes.data_as(i64p)
+                       for a in (qid, sid, qs, qe, ss, se)),
+                     keep.ctypes.data_as(u8p), n)
+    return keep.astype(bool)

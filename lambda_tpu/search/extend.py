@@ -88,21 +88,32 @@ def widen_and_merge(m: MatchBatch, q_lens: np.ndarray, s_lens: np.ndarray,
     ss_, se = subj_start[order], subj_end[order]
 
     before = len(qid)
-    # pairwise merge left->right (search_algo.hpp:1148-1158): same pair and
-    # l.subjEnd >= r.subjStart -> l.subjEnd = r.subjEnd; r.subjStart = l.subjStart
-    for i in range(len(qid) - 1):
-        if qid[i] == qid[i + 1] and sid[i] == sid[i + 1] and se[i] >= ss_[i + 1]:
-            se[i] = se[i + 1]
-            ss_[i + 1] = ss_[i]
-    # pairwise swallow right->left (:1160-1169): r.subjStart < l.subjEnd -> l = r
-    for i in range(len(qid) - 2, -1, -1):
-        if qid[i] == qid[i + 1] and sid[i] == sid[i + 1] and ss_[i + 1] < se[i]:
-            qs[i], qe[i] = qs[i + 1], qe[i + 1]
-            ss_[i], se[i] = ss_[i + 1], se[i + 1]
-    # unique
-    rows = np.stack([qid, sid, qs, qe, ss_, se], axis=1)
-    keep = np.ones(len(qid), dtype=bool)
-    keep[1:] = (rows[1:] != rows[:-1]).any(axis=1)
+    from .. import native
+    if native.get_lib() is not None:
+        arrs = [np.ascontiguousarray(a, dtype=np.int64)
+                for a in (qid, sid, qs, qe, ss_, se)]
+        keep = native.merge_passes(*arrs)
+        qid, sid, qs, qe, ss_, se = arrs
+    else:
+        # pairwise merge left->right (search_algo.hpp:1148-1158): same pair
+        # and l.subjEnd >= r.subjStart
+        #   -> l.subjEnd = r.subjEnd; r.subjStart = l.subjStart
+        for i in range(len(qid) - 1):
+            if qid[i] == qid[i + 1] and sid[i] == sid[i + 1] \
+                    and se[i] >= ss_[i + 1]:
+                se[i] = se[i + 1]
+                ss_[i + 1] = ss_[i]
+        # pairwise swallow right->left (:1160-1169):
+        # r.subjStart < l.subjEnd -> l = r
+        for i in range(len(qid) - 2, -1, -1):
+            if qid[i] == qid[i + 1] and sid[i] == sid[i + 1] \
+                    and ss_[i + 1] < se[i]:
+                qs[i], qe[i] = qs[i + 1], qe[i + 1]
+                ss_[i], se[i] = ss_[i + 1], se[i + 1]
+        # unique
+        rows = np.stack([qid, sid, qs, qe, ss_, se], axis=1)
+        keep = np.ones(len(qid), dtype=bool)
+        keep[1:] = (rows[1:] != rows[:-1]).any(axis=1)
     if stats is not None:
         stats.hits_duplicate += int(before - keep.sum())
     return MatchBatch(qid[keep], sid[keep], qs[keep], qe[keep],

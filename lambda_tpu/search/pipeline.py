@@ -313,22 +313,21 @@ class SearchContext:
             m, trans, self.s_windows, self.sw_fwd, self.sw_rev, gf, ge,
             self.bs_mode, with_trace=False)
 
-        # --- bit-score / e-value filters (search_algo.hpp:1252-1283)
+        # --- bit-score / e-value filters (search_algo.hpp:1252-1283),
+        # vectorized over the match batch
         orig_qlens = np.array([len(s) for s in qry_seqs], dtype=np.int64)
+        match_qlens = orig_qlens[m.qry_id // F]
         keep = np.ones(len(m), dtype=bool)
-        bit_scores = np.array([self.evaluer.bit_score(int(s)) for s in scores])
-        e_values = np.zeros(len(m))
-        for i in range(len(m)):
-            ql = int(orig_qlens[m.qry_id[i] // F])
-            if opt.min_bit_score >= 0 and bit_scores[i] < opt.min_bit_score:
-                keep[i] = False
-                stats.hits_failed_bit_score += 1
-                continue
-            if opt.max_e_value >= 0:
-                e_values[i] = self.evaluer.e_value(int(scores[i]), ql)
-                if e_values[i] > opt.max_e_value:
-                    keep[i] = False
-                    stats.hits_failed_e_value += 1
+        if opt.min_bit_score >= 0:
+            bit_scores = self.evaluer.bit_score_v(scores)
+            fail_bit = bit_scores < opt.min_bit_score
+            stats.hits_failed_bit_score += int(fail_bit.sum())
+            keep &= ~fail_bit
+        if opt.max_e_value >= 0:
+            e_values = self.evaluer.e_value_v(scores, match_qlens)
+            fail_e = keep & (e_values > opt.max_e_value)
+            stats.hits_failed_e_value += int(fail_e.sum())
+            keep &= ~fail_e
         idxs = np.nonzero(keep)[0]
         if len(idxs) == 0:
             return {}

@@ -429,3 +429,28 @@ class EValuer:
 
     def bit_score(self, raw_score: int) -> float:
         return bit_score(raw_score, self.params)
+
+    # ---- vectorized variants (hot pipeline path) ----
+
+    def bit_score_v(self, raw_scores: np.ndarray) -> np.ndarray:
+        lam, K = self.params[0], self.params[1]
+        return (lam * raw_scores.astype(np.float64) - math.log(K)) \
+            / math.log(2.0)
+
+    def e_value_v(self, raw_scores: np.ndarray,
+                  qlens: np.ndarray) -> np.ndarray:
+        """Vectorized e_value; the per-qlen length adjustment is computed
+        once per distinct query length (mirrors the scalar cache)."""
+        lam, K = self.params[0], self.params[1]
+        ql = qlens // 3 if self.q_is_translated else qlens
+        uq, inv = np.unique(ql, return_inverse=True)
+        adjs = []
+        for u in uq:
+            u = int(u)
+            if u not in self._adj_cache:
+                self._adj_cache[u] = length_adjustment(
+                    self.db_total_length, u, self.params)
+            adjs.append(self._adj_cache[u])
+        adj = np.array(adjs, dtype=np.float64)[inv]
+        return (K * (ql - adj) * (self.db_total_length - adj)
+                * np.exp(-lam * raw_scores.astype(np.float64)))

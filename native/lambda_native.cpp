@@ -177,6 +177,38 @@ void sw_traceback_batch(const int32_t* q, int32_t q_stride,
 }
 
 // ---------------------------------------------------------------------------
+// Match widening merge passes (search_algo.hpp:1148-1169): pairwise merge
+// left->right, swallow right->left, unique-mask — over rows pre-sorted by
+// (qid, sid, qs, qe, ss, se).  Exact replication of the reference loops
+// (and of the Python fallback in search/extend.py).
+// ---------------------------------------------------------------------------
+
+void merge_passes(int64_t* qid, int64_t* sid, int64_t* qs, int64_t* qe,
+                  int64_t* ss, int64_t* se, uint8_t* keep, int64_t n) {
+    for (int64_t i = 0; i + 1 < n; ++i) {
+        if (qid[i] == qid[i + 1] && sid[i] == sid[i + 1] &&
+            se[i] >= ss[i + 1]) {
+            se[i] = se[i + 1];
+            ss[i + 1] = ss[i];
+        }
+    }
+    for (int64_t i = n - 2; i >= 0; --i) {
+        if (qid[i] == qid[i + 1] && sid[i] == sid[i + 1] &&
+            ss[i + 1] < se[i]) {
+            qs[i] = qs[i + 1];
+            qe[i] = qe[i + 1];
+            ss[i] = ss[i + 1];
+            se[i] = se[i + 1];
+        }
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        keep[i] = i == 0 || qid[i] != qid[i - 1] || sid[i] != sid[i - 1] ||
+                  qs[i] != qs[i - 1] || qe[i] != qe[i - 1] ||
+                  ss[i] != ss[i - 1] || se[i] != se[i - 1];
+    }
+}
+
+// ---------------------------------------------------------------------------
 // BGZF block compression (BAM container).  Encodes `len` input bytes
 // (must be <= 65535) as one BGZF block into out (cap >= 65536+64);
 // returns block size or -1.

@@ -93,3 +93,39 @@ def test_python_bgzf_block_fallback(tmp_path, monkeypatch):
     assert gzip.decompress(blk) == chunk
     bsize = struct.unpack("<H", blk[16:18])[0]
     assert bsize == len(blk) - 1
+
+
+@needs_native
+def test_merge_passes_matches_python():
+    from lambda_tpu.search import extend
+
+    rng = np.random.default_rng(5)
+    n = 400
+    qid = np.sort(rng.integers(0, 6, size=n)).astype(np.int64)
+    sid = rng.integers(0, 8, size=n).astype(np.int64)
+    qs = np.zeros(n, dtype=np.int64)
+    qe = np.full(n, 50, dtype=np.int64)
+    ss = rng.integers(0, 300, size=n).astype(np.int64)
+    se = ss + rng.integers(10, 80, size=n)
+    order = np.lexsort((se, ss, qe, qs, sid, qid))
+    arrs = [a[order].copy() for a in (qid, sid, qs, qe, ss, se)]
+
+    # python reference passes
+    p = [a.copy() for a in arrs]
+    pq, psid, pqs, pqe, pss, pse = p
+    for i in range(n - 1):
+        if pq[i] == pq[i+1] and psid[i] == psid[i+1] and pse[i] >= pss[i+1]:
+            pse[i] = pse[i+1]
+            pss[i+1] = pss[i]
+    for i in range(n - 2, -1, -1):
+        if pq[i] == pq[i+1] and psid[i] == psid[i+1] and pss[i+1] < pse[i]:
+            pqs[i], pqe[i] = pqs[i+1], pqe[i+1]
+            pss[i], pse[i] = pss[i+1], pse[i+1]
+    rows = np.stack(p, axis=1)
+    pkeep = np.ones(n, dtype=bool)
+    pkeep[1:] = (rows[1:] != rows[:-1]).any(axis=1)
+
+    nkeep = native.merge_passes(*arrs)
+    np.testing.assert_array_equal(nkeep, pkeep)
+    for a, b in zip(arrs, p):
+        np.testing.assert_array_equal(a, b)
