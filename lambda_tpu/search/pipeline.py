@@ -250,10 +250,11 @@ class SearchContext:
         d_trans_q = jnp.asarray(trans_q)
         d_qlens = jnp.asarray(qlens)
 
-        res1 = stage1(self.d_keys, d_red_q, d_qlens,
-                      jnp.asarray(slot_frame), jnp.asarray(slot_begin),
-                      jnp.asarray(slot_rem), jnp.zeros(Q, jnp.int32))
-        cur = {k: np.asarray(v) for k, v in res1.items()}
+        with stats.timed("time_seed"):
+            res1 = stage1(self.d_keys, d_red_q, d_qlens,
+                          jnp.asarray(slot_frame), jnp.asarray(slot_begin),
+                          jnp.asarray(slot_rem), jnp.zeros(Q, jnp.int32))
+            cur = {k: np.asarray(v) for k, v in res1.items()}
 
         # compact cursors (host)
         mask = cur["count"] > 0
@@ -275,14 +276,16 @@ class SearchContext:
         pigeon = so.max_seed_dist >= 2
         d_red_sbj = self.d_red_sbj if pigeon \
             else jnp.zeros(1, jnp.int8)
-        res2 = stage2(self.d_pos, self.d_frame, self.d_sbj_offsets,
-                      self.d_sbj_lens, self.d_trans_sbj, d_trans_q, d_qlens,
-                      padded(flat["lo"]), padded(flat["count"]),
-                      padded(flat["seed_len"]), padded(flat["frame"]),
-                      padded(flat["begin"]), padded(flat["shift"]),
-                      d_red_q, d_red_sbj,
-                      self.d_sub_fwd, self.d_sub_rev)
-        hits = {k: np.asarray(v) for k, v in res2.items() if k != "stats"}
+        with stats.timed("time_locate"):
+            res2 = stage2(self.d_pos, self.d_frame, self.d_sbj_offsets,
+                          self.d_sbj_lens, self.d_trans_sbj, d_trans_q,
+                          d_qlens,
+                          padded(flat["lo"]), padded(flat["count"]),
+                          padded(flat["seed_len"]), padded(flat["frame"]),
+                          padded(flat["begin"]), padded(flat["shift"]),
+                          d_red_q, d_red_sbj,
+                          self.d_sub_fwd, self.d_sub_rev)
+            hits = {k: np.asarray(v) for k, v in res2.items() if k != "stats"}
         st2 = {k: int(v) for k, v in res2["stats"].items()}
         stats.hits_after_seeding += st2["hits_located"]
         stats.hits_failed_pre_extend += st2["failed_prescore"]
@@ -302,16 +305,18 @@ class SearchContext:
 
         # widen + merge (search_algo.hpp:1136-1175)
         q_frame_lens = qlens.astype(np.int64)
-        m = extend.widen_and_merge(m, q_frame_lens, self.trans_lens, stats)
+        with stats.timed("time_merge"):
+            m = extend.widen_and_merge(m, q_frame_lens, self.trans_lens, stats)
         if len(m) == 0:
             return {}
 
         # --- pass 1: score only
         gf = self.align_fwd.dp_gap_first
         ge = self.align_fwd.dp_gap_extend
-        scores, _ = extend._run_bucketed(
-            m, trans, self.s_windows, self.sw_fwd, self.sw_rev, gf, ge,
-            self.bs_mode, with_trace=False)
+        with stats.timed("time_extend"):
+            scores, _ = extend._run_bucketed(
+                m, trans, self.s_windows, self.sw_fwd, self.sw_rev, gf, ge,
+                self.bs_mode, with_trace=False)
 
         # --- bit-score / e-value filters (search_algo.hpp:1252-1283),
         # vectorized over the match batch
@@ -335,9 +340,10 @@ class SearchContext:
         scores2 = scores[idxs]
 
         # --- pass 2: traceback
-        scores2b, traces = extend._run_bucketed(
-            m2, trans, self.s_windows, self.sw_fwd, self.sw_rev, gf, ge,
-            self.bs_mode, with_trace=True)
+        with stats.timed("time_extend_trace"):
+            scores2b, traces = extend._run_bucketed(
+                m2, trans, self.s_windows, self.sw_fwd, self.sw_rev, gf, ge,
+                self.bs_mode, with_trace=True)
 
         out: dict[int, list[records.BlastMatch]] = {}
         for i in range(len(m2)):
@@ -417,7 +423,12 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
     if opt.lazy_qry_file:
         misc.my_print(opt.verbosity, 1, "Counting Query Sequences... ", end="")
         query_total = fasta.count_seqs(opt.query_file)
-        query_stream = fasta.iter_seqs(opt.query_file)
+        # producer-thread prefetch (view_async_input_buffer equivalent;
+        # buffer sized like the reference: records_per_batch x threads)
+        from ..io.async_buffer import async_input_buffer
+        query_stream = async_input_buffer(
+            fasta.iter_seqs(opt.query_file),
+            capacity=opt.query_batch_size * 4)
     else:
         misc.my_print(opt.verbosity, 1, "Loading Query Sequences... ", end="")
         _all_queries = fasta.read_fasta(opt.query_file)
@@ -468,6 +479,10 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
     writer.write_header()
 
     def write_query_records(q_global_id: str, q_seq: np.ndarray, matches: list):
+        with stats.timed("time_write"):
+            _write_query_records(q_global_id, q_seq, matches)
+
+    def _write_query_records(q_global_id: str, q_seq: np.ndarray, matches: list):
         matches = records.sort_dedup_cutoff(matches, opt.max_matches, stats)
         if not matches:
             return

@@ -1,9 +1,14 @@
 """Run statistics: the hit funnel (StatsHolder port,
-``/root/reference/src/search_datastructures.hpp:91-295``)."""
+``/root/reference/src/search_datastructures.hpp:91-295``) plus per-phase
+wall-time buckets (the always-available equivalent of the reference's
+compile-time LAMBDA_MICRO_STATS timings, search_datastructures.hpp:118-130,
+256-284)."""
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import time
 
 
 @dataclasses.dataclass
@@ -25,11 +30,27 @@ class StatsHolder:
     # TPU-specific overflow counters (fixed-budget buffers)
     cursors_overflow: int = 0
     hits_overflow: int = 0
+    # micro-stats: per-phase wall time (seconds)
+    time_seed: float = 0.0
+    time_locate: float = 0.0
+    time_merge: float = 0.0
+    time_extend: float = 0.0
+    time_extend_trace: float = 0.0
+    time_write: float = 0.0
 
     def __iadd__(self, o: "StatsHolder"):
         for f in dataclasses.fields(self):
             setattr(self, f.name, getattr(self, f.name) + getattr(o, f.name))
         return self
+
+    @contextlib.contextmanager
+    def timed(self, bucket: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            setattr(self, bucket,
+                    getattr(self, bucket) + time.perf_counter() - t0)
 
     def print_report(self, options) -> None:
         if options.verbosity >= 2:
@@ -52,6 +73,11 @@ class StatsHolder:
                       f"hits={self.hits_overflow}]")
             if rem != self.hits_final:
                 print("WARNING: hits don't add up")
+            print("   PHASE TIMES (s)   seed={:.2f} locate={:.2f} merge={:.2f}"
+                  " extend={:.2f} extendTrace={:.2f} write={:.2f}".format(
+                      self.time_seed, self.time_locate, self.time_merge,
+                      self.time_extend, self.time_extend_trace,
+                      self.time_write))
         if options.verbosity >= 1:
             print(f"Number of total hits:                           {self.hits_final}")
             print(f"Number of Query-Subject pairs:                  {self.pairs}")

@@ -223,3 +223,22 @@ def test_num_matches_cutoff_and_evalue(tmp_path):
                 "-e", "1e-60", "-v", "0")
     assert r.returncode == 0, r.stderr
     assert read_m8(out2) == []
+
+
+def test_lazy_query_streaming_matches_eager(protein_db, tmp_path):
+    """--lazy-query (async producer-thread streaming) must produce output
+    identical to the eager path (reference test: search_test.cpp:772-777)."""
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [
+        fasta.SeqRecord(f"q{i}", GYRA[i * 7 : i * 7 + 60].encode())
+        for i in range(20)])
+    eager = tmp_path / "eager.m8"
+    lazy = tmp_path / "lazy.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                "-o", str(eager), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    r = run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                "-o", str(lazy), "--lazy-query", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    assert Path(eager).read_text() == Path(lazy).read_text()
+    assert read_m8(eager)

@@ -36,3 +36,21 @@ def test_fastq(tmp_path):
     p.write_text("@r1\nACGT\n+\nIIII\n@r2\nGGTT\n+\nIIII\n")
     back = fasta.read_fasta(p)
     assert [(r.id, r.seq) for r in back] == [("r1", b"ACGT"), ("r2", b"GGTT")]
+
+
+def test_async_input_buffer_order_and_errors():
+    from lambda_tpu.io.async_buffer import async_input_buffer
+
+    assert list(async_input_buffer(range(1000), capacity=7)) == list(range(1000))
+
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("producer failed")
+
+    it = async_input_buffer(boom(), capacity=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="producer failed"):
+        next(it)
