@@ -212,7 +212,7 @@ class SearchContext:
         given phase options.  Returns dict: local query idx -> [BlastMatch]."""
         idx, opt = self.idx, self.opt
         F = self.qry_num_frames
-        cfg, (stage1, stage2) = self.seeder_for(so)
+        cfg, (stage1, stage2, fused) = self.seeder_for(so)
 
         # pad the query list to a bucketed count so jit shapes are reused
         n_real = len(qry_seqs)
@@ -250,46 +250,25 @@ class SearchContext:
         d_trans_q = jnp.asarray(trans_q)
         d_qlens = jnp.asarray(qlens)
 
-        with stats.timed("time_seed"):
-            res1 = stage1(self.d_keys, d_red_q, d_qlens,
-                          jnp.asarray(slot_frame), jnp.asarray(slot_begin),
-                          jnp.asarray(slot_rem), jnp.zeros(Q, jnp.int32))
-            cur = {k: np.asarray(v) for k, v in res1.items()}
-
-        # compact cursors (host)
-        mask = cur["count"] > 0
-        flat = {k: v[mask] for k, v in cur.items()}
-        C = cfg.max_cursors
-        ncur = len(flat["count"])
-        if ncur > C:
-            stats.cursors_overflow += ncur - C
-            flat = {k: v[:C] for k, v in flat.items()}
-            ncur = C
-        if ncur == 0:
-            return {}
-
-        def padded(a, fill=0):
-            out = np.full(C, fill, dtype=np.int32)
-            out[:ncur] = a
-            return jnp.asarray(out)
-
         pigeon = so.max_seed_dist >= 2
         d_red_sbj = self.d_red_sbj if pigeon \
             else jnp.zeros(1, jnp.int8)
+        # single fused dispatch: seed scan -> device cursor compaction ->
+        # locate/verify/prescore; only the hit arrays come back
+        with stats.timed("time_seed"):
+            res2 = fused(self.d_keys, d_red_q, d_qlens,
+                         jnp.asarray(slot_frame), jnp.asarray(slot_begin),
+                         jnp.asarray(slot_rem), jnp.zeros(Q, jnp.int32),
+                         self.d_pos, self.d_frame, self.d_sbj_offsets,
+                         self.d_sbj_lens, self.d_trans_sbj, d_trans_q,
+                         d_red_sbj, self.d_sub_fwd, self.d_sub_rev)
         with stats.timed("time_locate"):
-            res2 = stage2(self.d_pos, self.d_frame, self.d_sbj_offsets,
-                          self.d_sbj_lens, self.d_trans_sbj, d_trans_q,
-                          d_qlens,
-                          padded(flat["lo"]), padded(flat["count"]),
-                          padded(flat["seed_len"]), padded(flat["frame"]),
-                          padded(flat["begin"]), padded(flat["shift"]),
-                          d_red_q, d_red_sbj,
-                          self.d_sub_fwd, self.d_sub_rev)
             hits = {k: np.asarray(v) for k, v in res2.items() if k != "stats"}
         st2 = {k: int(v) for k, v in res2["stats"].items()}
         stats.hits_after_seeding += st2["hits_located"]
         stats.hits_failed_pre_extend += st2["failed_prescore"]
         stats.hits_overflow += st2["hits_overflow"]
+        stats.cursors_overflow += st2["cursors_overflow"]
 
         sel = hits["valid"] & hits["passed"]
         if not sel.any():

@@ -158,9 +158,8 @@ def make_seeder(cfg: SeedConfig):
         V = len(positions)
     bits, cpw, words = cfg.bits, cfg.cpw, cfg.words
 
-    @jax.jit
-    def stage1(keys, red_q, qlens, slot_frame, slot_begin, slot_rem,
-               hits_this_seq0):
+    def stage1_impl(keys, red_q, qlens, slot_frame, slot_begin, slot_rem,
+                    hits_this_seq0):
         """Scan over seed slots.  Emits per-(q, t, v) cursors.
 
         keys: (P, words) u32 sorted index keys
@@ -282,12 +281,11 @@ def make_seeder(cfg: SeedConfig):
                for kk, vv in outs.items()}
         return res
 
-    @jax.jit
-    def stage2(kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
-               trans_sbj, trans_q, tq_lens,
-               cur_lo, cur_count, cur_seedlen, cur_frame, cur_begin,
-               cur_shift, red_q, red_sbj,
-               subst_fwd, subst_rev):
+    def stage2_impl(kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
+                    trans_sbj, trans_q, tq_lens,
+                    cur_lo, cur_count, cur_seedlen, cur_frame, cur_begin,
+                    cur_shift, red_q, red_sbj,
+                    subst_fwd, subst_rev):
         """Flat locate (+ pigeonhole verification) + prescore.
 
         cur_*: (C,) compacted cursor arrays (count>0), C static = max_cursors.
@@ -398,4 +396,40 @@ def make_seeder(cfg: SeedConfig):
                     s_frame=sframe, s_off=s_off,
                     valid=hit_valid, passed=passed, stats=stats)
 
-    return stage1, stage2
+    def fused_impl(keys, red_q, qlens, slot_frame, slot_begin, slot_rem,
+                   hits_this_seq0,
+                   kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
+                   trans_sbj, trans_q, red_sbj, subst_fwd, subst_rev):
+        """stage1 -> on-device cursor compaction -> stage2, one dispatch.
+
+        Replaces the host round-trip of the full (Q, T*V) cursor arrays
+        (several MB per batch) with a stable device compaction down to
+        cfg.max_cursors rows; only the final hit arrays leave the device.
+        """
+        cur = stage1_impl(keys, red_q, qlens, slot_frame, slot_begin,
+                          slot_rem, hits_this_seq0)
+        count = cur["count"].reshape(-1)
+        valid = count > 0
+        # stable partition: valid cursors first, original order preserved
+        # (matches the host compaction exactly)
+        order = jnp.argsort(jnp.where(valid, 0, 1).astype(jnp.int8),
+                            stable=True)
+        C = cfg.max_cursors
+        c_eff = min(C, count.shape[0])
+        sel = order[:c_eff]
+        n_valid = jnp.sum(valid.astype(jnp.int32))
+
+        def take(name):
+            x = cur[name].reshape(-1)[sel]
+            x = jnp.pad(x, (0, C - c_eff))
+            return jnp.where(jnp.arange(C) < n_valid, x, 0)
+
+        res = stage2_impl(kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
+                          trans_sbj, trans_q, qlens,
+                          take("lo"), take("count"), take("seed_len"),
+                          take("frame"), take("begin"), take("shift"),
+                          red_q, red_sbj, subst_fwd, subst_rev)
+        res["stats"]["cursors_overflow"] = jnp.maximum(n_valid - C, 0)
+        return res
+
+    return jax.jit(stage1_impl), jax.jit(stage2_impl), jax.jit(fused_impl)
