@@ -239,3 +239,83 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
                 jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first, gap_extend)
             scores[idxs] = np.asarray(best)
     return scores, traces
+
+
+# ---------------------------------------------------------------------------
+# Device-resident score pass: windows gathered on device from the resident
+# query-frame/subject tensors; only match coordinates go host->device and
+# only scores come back.
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("qbk", "sbk", "gap_first",
+                                             "gap_extend"))
+def _device_score_bucket(trans_q, trans_sbj, sbj_offsets,
+                         qry_id, qry_start, qry_len, subj_id, subj_start,
+                         subj_len, subst_ext8, qbk, sbk, gap_first,
+                         gap_extend):
+    from ..ops import sw_pallas
+
+    pad = subst_ext8.shape[0] - 1
+    B = qry_id.shape[0]
+    iq = jnp.arange(qbk, dtype=jnp.int32)
+    qidx = qry_start[:, None] + iq[None, :]
+    qwin = trans_q[jnp.clip(qry_id, 0, trans_q.shape[0] - 1)[:, None],
+                   jnp.clip(qidx, 0, trans_q.shape[1] - 1)]
+    qwin = jnp.where(iq[None, :] < qry_len[:, None], qwin, pad)
+
+    js = jnp.arange(sbk, dtype=jnp.int32)
+    sabs = sbj_offsets[jnp.clip(subj_id, 0, sbj_offsets.shape[0] - 1)][:, None] \
+        + subj_start[:, None] + js[None, :]
+    swin = trans_sbj[jnp.clip(sabs, 0, trans_sbj.shape[0] - 1)].astype(jnp.int32)
+    swin = jnp.where(js[None, :] < subj_len[:, None], swin, pad)
+
+    return sw_pallas.sw_score_device(qwin.astype(jnp.int32), swin,
+                                     subst_ext8, gap_first, gap_extend)
+
+
+def sw_scores_device(m: MatchBatch, d_trans_q, d_trans_sbj, d_sbj_offsets,
+                     e8_fwd, e8_rev, gap_first, gap_extend,
+                     bs_split: bool) -> np.ndarray:
+    """Pass-1 scores with device-side window gathering.  Matches are
+    bucketed by padded shape class like the host path; each bucket is one
+    fused dispatch (gather -> substitution image -> Pallas DP)."""
+    from ..ops import sw_pallas
+
+    n = len(m)
+    scores = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return scores
+    qlen = (m.qry_end - m.qry_start).astype(np.int64)
+    slen = (m.subj_end - m.subj_start).astype(np.int64)
+    rev = (m.subj_id % 2 == 1) if bs_split else np.zeros(n, dtype=bool)
+    group_keys: dict = {}
+    for i in range(n):
+        group_keys.setdefault(
+            (_bucket(int(qlen[i])), _bucket(int(slen[i])), bool(rev[i])),
+            []).append(i)
+    for (qbk, sbk, r), idxs in group_keys.items():
+        idxs = np.asarray(idxs)
+        BT = sw_pallas.batch_tile(max(sw_pallas._ceil(qbk, 128), 128))
+        Bp = sw_pallas._ceil(len(idxs), BT)
+        sbkp = sw_pallas._ceil(
+            sbk, sw_pallas._chunk_cols(max(sw_pallas._ceil(qbk, 128), 128),
+                                       BT))
+
+        def pad_i32(a, fill=0):
+            out = np.full(Bp, fill, dtype=np.int32)
+            out[:len(idxs)] = a[idxs]
+            return jnp.asarray(out)
+
+        out = _device_score_bucket(
+            d_trans_q, d_trans_sbj, d_sbj_offsets,
+            pad_i32(m.qry_id), pad_i32(m.qry_start), pad_i32(qlen),
+            pad_i32(m.subj_id), pad_i32(m.subj_start),
+            pad_i32(slen, fill=-1),
+            jnp.asarray(e8_rev if r else e8_fwd),
+            max(sw_pallas._ceil(qbk, 128), 128), sbkp,
+            int(gap_first), int(gap_extend))
+        scores[idxs] = np.asarray(out)[:len(idxs)]
+    return scores

@@ -121,6 +121,9 @@ class SearchContext:
         # SW padded matrices
         self.sw_fwd = sw_xla.extend_matrix(self.align_fwd.matrix)
         self.sw_rev = sw_xla.extend_matrix(self.align_rev.matrix)
+        from ..ops import sw_pallas
+        self.e8_fwd = sw_pallas.ext8_from_ext32(self.sw_fwd)
+        self.e8_rev = sw_pallas.ext8_from_ext32(self.sw_rev)
 
         self.s_windows = extend.SubjectWindows(idx.trans_concat, idx.trans_offsets)
 
@@ -293,9 +296,16 @@ class SearchContext:
         gf = self.align_fwd.dp_gap_first
         ge = self.align_fwd.dp_gap_extend
         with stats.timed("time_extend"):
-            scores, _ = extend._run_bucketed(
-                m, trans, self.s_windows, self.sw_fwd, self.sw_rev, gf, ge,
-                self.bs_mode, with_trace=False)
+            if extend._use_pallas():
+                # fully device-resident score pass (windows gathered from
+                # the resident query/subject tensors)
+                scores = extend.sw_scores_device(
+                    m, d_trans_q, self.d_trans_sbj, self.d_sbj_offsets,
+                    self.e8_fwd, self.e8_rev, gf, ge, self.bs_mode)
+            else:
+                scores, _ = extend._run_bucketed(
+                    m, trans, self.s_windows, self.sw_fwd, self.sw_rev,
+                    gf, ge, self.bs_mode, with_trace=False)
 
         # --- bit-score / e-value filters (search_algo.hpp:1252-1283),
         # vectorized over the match batch
