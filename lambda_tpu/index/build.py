@@ -93,9 +93,18 @@ def build_position_keys(concat: np.ndarray, offsets: np.ndarray,
 def build_kmer_index(red_concat: np.ndarray, offsets: np.ndarray,
                      alphabet_size: int, words: int = 4) -> KmerIndex:
     bits = bits_for_alphabet(alphabet_size)
-    keys = build_position_keys(red_concat, offsets, bits, words)
-    # lexicographic sort: np.lexsort uses the LAST key as primary
-    order = np.lexsort(tuple(keys[:, w] for w in reversed(range(words))))
+    from .. import native
+    keys = native.pack_position_keys(red_concat, offsets, bits, words)
+    if keys is None:
+        keys = build_position_keys(red_concat, offsets, bits, words)
+    # lexicographic sort; parallel native sort when available (np.lexsort
+    # scales poorly past ~10M positions), np.lexsort fallback otherwise --
+    # both stable, so the resulting index is identical
+    from .. import native
+    order = native.sort_rows_u32(keys) if words <= 4 else None
+    if order is None:
+        # np.lexsort uses the LAST key as primary
+        order = np.lexsort(tuple(keys[:, w] for w in reversed(range(words))))
     frame_of_pos = np.repeat(
         np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets))
     return KmerIndex(

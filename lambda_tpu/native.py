@@ -78,6 +78,13 @@ def get_lib():
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.merge_passes.argtypes = [i64p] * 6 + [u8p, ctypes.c_int64]
     lib.merge_passes.restype = None
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.sort_rows_u32.argtypes = [u32p, ctypes.c_int64, ctypes.c_int32, i64p]
+    lib.sort_rows_u32.restype = None
+    lib.pack_position_keys.argtypes = [u8p, ctypes.c_int64, i64p,
+                                       ctypes.c_int64, ctypes.c_int32,
+                                       ctypes.c_int32, u32p]
+    lib.pack_position_keys.restype = None
     _lib = lib
     return _lib
 
@@ -183,3 +190,39 @@ def merge_passes(qid, sid, qs, qe, ss, se):
                        for a in (qid, sid, qs, qe, ss, se)),
                      keep.ctypes.data_as(u8p), n)
     return keep.astype(bool)
+
+
+def sort_rows_u32(keys: np.ndarray) -> np.ndarray | None:
+    """Stable lexicographic argsort of (P, words<=4) uint32 key rows
+    (parallel; np.lexsort equivalent).  Returns None without the lib."""
+    lib = get_lib()
+    if lib is None or keys.shape[1] > 4:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    P = keys.shape[0]
+    order = np.zeros(P, dtype=np.int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.sort_rows_u32(keys.ctypes.data_as(u32p), P, keys.shape[1],
+                      order.ctypes.data_as(i64p))
+    return order
+
+
+def pack_position_keys(concat: np.ndarray, offsets: np.ndarray,
+                       bits: int, words: int) -> np.ndarray | None:
+    """Parallel key packing for the k-mer index (build_position_keys
+    equivalent).  Returns None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    concat = np.ascontiguousarray(concat, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    P = len(concat)
+    keys = np.zeros((P, words), dtype=np.uint32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.pack_position_keys(concat.ctypes.data_as(u8p), P,
+                           offsets.ctypes.data_as(i64p), len(offsets) - 1,
+                           bits, words, keys.ctypes.data_as(u32p))
+    return keys

@@ -21,6 +21,7 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <parallel/algorithm>
 #include <zlib.h>
 
 extern "C" {
@@ -174,6 +175,70 @@ void sw_traceback_batch(const int32_t* q, int32_t q_stride,
         std::reverse(ops, ops + n);
         ops_len_out[b] = n;
     }
+}
+
+// ---------------------------------------------------------------------------
+// Parallel stable lexicographic row sort for k-mer index construction
+// (the native-build counterpart of the reference's threaded FM-index
+// construction, mkindex_algo.hpp:600-618).  keys: (P, words<=4) uint32
+// row-major, big-endian significance; writes the stable sort order.
+// ---------------------------------------------------------------------------
+
+namespace {
+struct Row128 {
+    uint64_t hi, lo;
+    int64_t idx;
+};
+}  // namespace
+
+// Pack, for every global position p of every frame, the next
+// chars_per_word*words characters (rank+1, MSB-first, sentinel 0 past the
+// frame end) into uint32 key words (build_position_keys equivalent).
+void pack_position_keys(const uint8_t* concat, int64_t P,
+                        const int64_t* offsets, int64_t n_frames,
+                        int32_t bits, int32_t words, uint32_t* keys) {
+    const int32_t cpw = 32 / bits;
+    const uint32_t align = 32 - cpw * bits;
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t f = 0; f < n_frames; ++f) {
+        const int64_t end = offsets[f + 1];
+        for (int64_t p = offsets[f]; p < end; ++p) {
+            uint32_t* out = keys + p * words;
+            int64_t j = p;
+            for (int32_t w = 0; w < words; ++w) {
+                uint32_t word = 0;
+                for (int32_t c = 0; c < cpw; ++c, ++j) {
+                    uint32_t v = j < end ? (uint32_t)concat[j] + 1 : 0;
+                    word = (word << bits) | v;
+                }
+                out[w] = word << align;
+            }
+        }
+    }
+}
+
+void sort_rows_u32(const uint32_t* keys, int64_t P, int32_t words,
+                   int64_t* order) {
+    std::vector<Row128> rows(P);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < P; ++i) {
+        const uint32_t* r = keys + i * words;
+        uint32_t w0 = words > 0 ? r[0] : 0;
+        uint32_t w1 = words > 1 ? r[1] : 0;
+        uint32_t w2 = words > 2 ? r[2] : 0;
+        uint32_t w3 = words > 3 ? r[3] : 0;
+        rows[i].hi = ((uint64_t)w0 << 32) | w1;
+        rows[i].lo = ((uint64_t)w2 << 32) | w3;
+        rows[i].idx = i;
+    }
+    __gnu_parallel::sort(rows.begin(), rows.end(),
+                         [](const Row128& a, const Row128& b) {
+                             if (a.hi != b.hi) return a.hi < b.hi;
+                             if (a.lo != b.lo) return a.lo < b.lo;
+                             return a.idx < b.idx;  // stable
+                         });
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < P; ++i) order[i] = rows[i].idx;
 }
 
 // ---------------------------------------------------------------------------
