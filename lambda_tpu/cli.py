@@ -54,9 +54,28 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 1 if argv else 0
     argv.remove(sub)
-    if sub.startswith("mkindex"):
-        return mkindex_main(sub, argv)
-    return search_main(sub, argv)
+    from .misc import IndexException, QueryException
+    try:
+        if sub.startswith("mkindex"):
+            return mkindex_main(sub, argv)
+        return search_main(sub, argv)
+    except IndexException as e:
+        print("ERROR: The following exception was thrown inside the program "
+              "and relates to the database index:\n       "
+              f"{e}", file=sys.stderr)
+        return 1
+    except QueryException as e:
+        print("ERROR: The following exception was thrown inside the program "
+              "and relates to the query input:\n       "
+              f"{e}", file=sys.stderr)
+        return 1
+    except MemoryError:
+        print("ERROR: out of memory. Split your file into smaller segments "
+              "or use --lazy-query.", file=sys.stderr)
+        return 1
+    except (RuntimeError, ValueError, OSError) as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
 
 
 def _myprint(verbosity: int, level: int, *msg) -> None:

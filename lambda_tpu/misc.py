@@ -122,3 +122,11 @@ def print_search_options(opt) -> None:
           f"{'n/a' if opt.scoring_method else opt.mismatch}\n"
           f"  score-gap:                {opt.gap_extend}\n"
           f"  score-gap-open:           {opt.gap_open}\n")
+
+
+class IndexException(RuntimeError):
+    """Problems with the database index (search_misc.hpp:32-36)."""
+
+
+class QueryException(RuntimeError):
+    """Problems with the query input (search_misc.hpp:38-40)."""

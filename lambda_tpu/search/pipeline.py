@@ -69,7 +69,8 @@ class SearchContext:
         elif qalph in ("auto", "dna5"):
             first = next(fasta.iter_seqs(opt.query_file), None)
             if first is None:
-                raise RuntimeError("ERROR: Query file is empty.")
+                from ..misc import QueryException
+                raise QueryException("Query file is empty.")
             qalph = artifact.detect_alphabet(first.seq) \
                 if opt.qry_orig_alphabet == "auto" else ab.DNA5
         else:
@@ -386,7 +387,13 @@ class SearchContext:
 
 
 def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
+    import os
+
     from .. import misc
+
+    if not os.path.exists(opt.query_file):
+        raise misc.QueryException(
+            f"could not open the query file at '{opt.query_file}'.")
 
     if opt.verbosity >= 2:
         misc.print_search_options(opt)

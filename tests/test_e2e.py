@@ -242,3 +242,18 @@ def test_lazy_query_streaming_matches_eager(protein_db, tmp_path):
     assert r.returncode == 0, r.stderr
     assert Path(eager).read_text() == Path(lazy).read_text()
     assert read_m8(eager)
+
+
+def test_friendly_error_messages(tmp_path):
+    """Top-level exception handling mirrors the reference
+    (search.cpp:98-125): typed messages, exit code 1, no traceback."""
+    r = run_cli("searchp", "-q", "/nonexistent.fa", "-i", "/nonexistent.lit",
+                "-o", str(tmp_path / "x.m8"))
+    assert r.returncode == 1
+    assert "ERROR" in r.stderr and "Traceback" not in r.stderr
+    assert "query" in r.stderr
+    q = tmp_path / "q.fasta"
+    q.write_text(">q1\nMKV\n")
+    r = run_cli("searchp", "-q", str(q), "-i", "/nonexistent.lit",
+                "-o", str(tmp_path / "x.m8"))
+    assert r.returncode == 1 and "index" in r.stderr
