@@ -257,3 +257,46 @@ def test_friendly_error_messages(tmp_path):
     r = run_cli("searchp", "-q", str(q), "-i", "/nonexistent.lit",
                 "-o", str(tmp_path / "x.m8"))
     assert r.returncode == 1 and "index" in r.stderr
+
+
+def test_gz_outputs(protein_db, tmp_path):
+    """.m8.gz / .m9.gz outputs (search_test.cpp gz cases)."""
+    import gzip as _gzip
+
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", GYRA[50:130].encode())])
+    plain = tmp_path / "out.m8"
+    gz = tmp_path / "out.m8.gz"
+    assert run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                   "-o", str(plain), "-v", "0").returncode == 0
+    assert run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                   "-o", str(gz), "-v", "0").returncode == 0
+    assert _gzip.open(gz, "rt").read() == Path(plain).read_text()
+
+
+def test_gz_query_input(protein_db, tmp_path):
+    import gzip as _gzip
+
+    q = tmp_path / "q.fasta.gz"
+    with _gzip.open(q, "wt") as fh:
+        fh.write(f">q1\n{GYRA[50:130]}\n")
+    out = tmp_path / "out.m8"
+    assert run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                   "-o", str(out), "-v", "0").returncode == 0
+    assert read_m8(out)
+
+
+@pytest.mark.parametrize("profile", ["fast", "sensitive", "pairs-default",
+                                     "pairs-sensitive"])
+def test_profiles_run_and_find_hits(profile, protein_db, tmp_path):
+    """Profiles are flag bundles overriding seeds/prescore
+    (search_options.hpp:631-682); all must find the exact fragment."""
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", GYRA[50:130].encode())])
+    out = tmp_path / f"out_{profile}.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                "-o", str(out), "-p", profile, "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    assert rows and rows[0][1].startswith("GYRA")
+    assert float(rows[0][2]) == 100.0
