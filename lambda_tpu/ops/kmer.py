@@ -67,9 +67,9 @@ def variant_table(k: int, delta: int, alphabet_size: int, half_exact: bool):
     if delta == 0:
         return np.array([-1], dtype=np.int32), np.array([0], dtype=np.int32)
     if delta != 1:
-        raise NotImplementedError(
-            f"seed-delta {delta} > 1 is not implemented yet (round-1 limitation); "
-            "use --seed-delta 1")
+        raise ValueError(
+            f"variant enumeration only supports delta <= 1 (got {delta}); "
+            "delta >= 2 uses pigeonhole seeding (see search/seeding.py)")
     start = k // 2 if half_exact else 0  # errors only in 2nd half (hpp:555)
     pos, rep = [-1], [0]
     for p in range(start, k):
