@@ -207,3 +207,112 @@ def make_demo_inputs(cfg: StepConfig, n_q: int, q_len: int, db_seq_len: int,
     subst = np.full((A, A), -2, dtype=np.int32)
     np.fill_diagonal(subst, 4)
     return frames, red_q, trans_q, sw_xla.extend_matrix(subst)
+
+
+# ---------------------------------------------------------------------------
+# Sharded seeding with the REAL pipeline seeder (search/seeding.py) under
+# shard_map: each 'db' member runs the fused seed->compact->locate->prescore
+# program over its local index slice; the fixed-size hit arrays are gathered
+# and combined on the host.  With adaptive seeding off and no buffer
+# overflows this produces exactly the single-device hit set (tested); with
+# adaptive seeding on, the desiredOccs feedback sees per-shard counts (the
+# reference has the analogous nondeterminism across OpenMP threads).
+# ---------------------------------------------------------------------------
+
+
+def build_index_shards(trans_frames: list[np.ndarray],
+                       red_frames: list[np.ndarray], alphabet_size: int,
+                       n_shards: int, words: int = 4):
+    """Shard subject frames contiguously; per shard build the k-mer index
+    plus the local subject tensors stage 2 needs.  All arrays are padded
+    to equal shapes and stacked on a leading 'db' axis."""
+    from .. import frames as fr
+
+    groups = np.array_split(np.arange(len(trans_frames)), n_shards)
+    per = []
+    for g in groups:
+        rf = [red_frames[i] for i in g]
+        tf = [trans_frames[i] for i in g]
+        red_concat, offsets, lengths = fr.concat_frames(rf)
+        trans_concat, _, _ = fr.concat_frames(tf)
+        idx = build_kmer_index(red_concat, offsets, alphabet_size, words=words)
+        per.append(dict(idx=idx, base=int(g[0]) if len(g) else 0,
+                        offsets=offsets, lengths=lengths,
+                        trans_concat=trans_concat, red_concat=red_concat))
+
+    D = len(per)
+    pmax = max(p["idx"].num_positions for p in per)
+    fmax = max(len(p["offsets"]) - 1 for p in per)
+    smax = max(len(p["trans_concat"]) for p in per)
+    out = dict(
+        keys=np.full((D, pmax, words), 0xFFFFFFFF, dtype=np.uint32),
+        pos=np.zeros((D, pmax), dtype=np.int32),
+        frame=np.zeros((D, pmax), dtype=np.int32),      # LOCAL frame ids
+        rows=np.zeros((D,), dtype=np.int32),
+        offsets=np.zeros((D, fmax), dtype=np.int32),
+        lengths=np.zeros((D, fmax), dtype=np.int32),
+        trans=np.zeros((D, max(smax, 1)), dtype=np.int8),
+        red=np.zeros((D, max(smax, 1)), dtype=np.int8),
+        base=np.zeros((D,), dtype=np.int32),
+        n_frames=np.zeros((D,), dtype=np.int32),
+    )
+    for i, p in enumerate(per):
+        n = p["idx"].num_positions
+        out["keys"][i, :n] = p["idx"].keys
+        out["pos"][i, :n] = p["idx"].pos.astype(np.int32)
+        out["frame"][i, :n] = p["idx"].frame.astype(np.int32)
+        out["rows"][i] = n
+        nf = len(p["offsets"]) - 1
+        out["offsets"][i, :nf] = p["offsets"][:-1].astype(np.int32)
+        out["lengths"][i, :nf] = p["lengths"].astype(np.int32)
+        out["trans"][i, :len(p["trans_concat"])] = \
+            p["trans_concat"].astype(np.int8)
+        out["red"][i, :len(p["red_concat"])] = p["red_concat"].astype(np.int8)
+        out["base"][i] = p["base"]
+        out["n_frames"][i] = nf
+    return out
+
+
+def make_sharded_seeder(mesh: Mesh, fused):
+    """Wrap a seeder's fused program (third element of
+    seeding.make_seeder's result) for a 1-D 'db' mesh: queries replicated,
+    index/subject tensors sharded.  Returns a jitted function producing
+    per-shard hit arrays with a leading 'db' axis (s_frame ids are LOCAL;
+    add the shard's frame base on the host).
+
+    Padded key rows are 0xFFFFFFFF-filled, which sorts after every real
+    packed prefix (ranks are stored +1 in the top bits, always < 0xF...),
+    so searching the padded row range is equivalent to the exact range."""
+
+    def local(keys, pos, frame, rows, offsets, lengths, trans, red, base,
+              red_q, qlens, slot_frame, slot_begin, slot_rem, hits0,
+              trans_q, subst_fwd, subst_rev):
+        res = fused(keys[0], red_q, qlens,
+                    slot_frame, slot_begin, slot_rem, hits0,
+                    pos[0], frame[0], offsets[0], lengths[0],
+                    trans[0], trans_q, red[0], subst_fwd, subst_rev)
+        st = res["stats"]
+        outs = (res["q_frame"], res["q_begin"], res["seed_len"],
+                res["s_frame"], res["s_off"], res["valid"], res["passed"],
+                st["hits_located"], st["hits_overflow"],
+                st["failed_prescore"], st["cursors_overflow"])
+        return tuple(x[None] for x in outs)
+
+    P_ = P
+    arr2 = P_("db", None)
+    scal = P_("db")
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P_("db", None, None), P_("db", None), P_("db", None),
+                  P_("db"), P_("db", None), P_("db", None),
+                  P_("db", None), P_("db", None), P_("db"),
+                  P_(None, None), P_(None),
+                  P_(None, None), P_(None, None), P_(None, None), P_(None),
+                  P_(None, None), P_(None, None), P_(None, None)),
+        out_specs=(arr2,) * 7 + (scal,) * 4,
+        # the seeder's internal scan/fori carries start from replicated
+        # constants and become shard-varying; skip the VMA consistency
+        # check rather than threading pcast through the core code
+        check_vma=False,
+    )
+    return jax.jit(step)

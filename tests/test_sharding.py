@@ -72,3 +72,105 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("n_db", [2, 4])
+def test_sharded_seeder_matches_single_device(n_db):
+    """The REAL pipeline seeder (fused seed->compact->locate->prescore)
+    run under shard_map over a sharded index must produce exactly the
+    single-device hit set (adaptive seeding off)."""
+    import jax.numpy as jnp
+    from lambda_tpu import alphabets as ab
+    from lambda_tpu import frames as fr
+    from lambda_tpu.index.build import build_kmer_index
+    from lambda_tpu.search import seeding
+
+    rng = np.random.default_rng(23)
+    A = 10
+    trans_frames = [rng.integers(0, A, size=300).astype(np.uint8)
+                    for _ in range(8)]
+    # queries: fragments with a couple of substitutions
+    qfs = []
+    for i in range(6):
+        f = trans_frames[i % 8][40:140].copy()
+        f[10] = (f[10] + 1) % A
+        qfs.append(f)
+
+    cfg = seeding.SeedConfig(
+        seed_length=10, seed_offset=5, max_seed_dist=1, half_exact=False,
+        adaptive=False, max_matches=64, pre_scoring=2,
+        pre_scoring_thresh=1.0, alphabet_size=A, bits=4, cpw=8, words=4,
+        n_rows=4096, max_cursors=1024, max_hits=4096)
+    _, _, fused = seeding.make_seeder(cfg)
+
+    slot_frame, slot_begin, slot_rem, T = seeding.compute_seed_slots(
+        qfs, 1, 99, cfg)
+    G = len(qfs)
+    Lmax = max(len(f) for f in qfs)
+    red_q = np.zeros((G, Lmax), np.int32)
+    qlens = np.array([len(f) for f in qfs], np.int32)
+    for g, f in enumerate(qfs):
+        red_q[g, :len(f)] = f
+    subst = np.full((A, A), -1, np.int32)
+    np.fill_diagonal(subst, 2)
+
+    def run_single():
+        concat, offsets, lengths = fr.concat_frames(trans_frames)
+        idx = build_kmer_index(concat, offsets, A)
+        res = fused(jnp.asarray(idx.keys), jnp.asarray(red_q),
+                    jnp.asarray(qlens), jnp.asarray(slot_frame),
+                    jnp.asarray(slot_begin), jnp.asarray(slot_rem),
+                    jnp.zeros(G, jnp.int32),
+                    jnp.asarray(idx.pos.astype(np.int32)),
+                    jnp.asarray(idx.frame.astype(np.int32)),
+                    jnp.asarray(offsets[:-1].astype(np.int32)),
+                    jnp.asarray(lengths.astype(np.int32)),
+                    jnp.asarray(concat.astype(np.int8)),
+                    jnp.asarray(red_q),
+                    jnp.asarray(concat.astype(np.int8)),
+                    jnp.asarray(subst), jnp.asarray(subst))
+        h = {k: np.asarray(v) for k, v in res.items() if k != "stats"}
+        sel = h["valid"] & h["passed"]
+        return set(zip(h["q_frame"][sel], h["q_begin"][sel],
+                       h["seed_len"][sel], h["s_frame"][sel],
+                       h["s_off"][sel]))
+
+    def run_sharded(n_db):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        devices = np.array(jax.devices("cpu")[:n_db])
+        mesh = Mesh(devices, ("db",))
+        tf = [f.astype(np.uint8) for f in trans_frames]
+        sh = pmesh.build_index_shards(tf, tf, A, n_db)
+        step = pmesh.make_sharded_seeder(mesh, fused)
+
+        def put(x, spec):
+            return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
+
+        P_ = P
+        outs = step(
+            put(sh["keys"], P_("db", None, None)),
+            put(sh["pos"], P_("db", None)), put(sh["frame"], P_("db", None)),
+            put(sh["rows"], P_("db")), put(sh["offsets"], P_("db", None)),
+            put(sh["lengths"], P_("db", None)),
+            put(sh["trans"], P_("db", None)), put(sh["red"], P_("db", None)),
+            put(sh["base"], P_("db")),
+            put(red_q, P_(None, None)), put(qlens, P_(None)),
+            put(slot_frame, P_(None, None)), put(slot_begin, P_(None, None)),
+            put(slot_rem, P_(None, None)),
+            put(np.zeros(G, np.int32), P_(None)),
+            put(red_q, P_(None, None)),
+            put(subst, P_(None, None)), put(subst, P_(None, None)))
+        (q_frame, q_begin, seed_len, s_frame, s_off,
+         valid, passed, *_) = [np.asarray(o) for o in outs]
+        got = set()
+        for d in range(n_db):
+            sel = valid[d] & passed[d]
+            base = sh["base"][d]
+            got |= set(zip(q_frame[d][sel], q_begin[d][sel],
+                           seed_len[d][sel], s_frame[d][sel] + base,
+                           s_off[d][sel]))
+        return got
+
+    ref = run_single()
+    assert ref, "fixture found no hits"
+    assert run_sharded(n_db) == ref
