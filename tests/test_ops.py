@@ -104,7 +104,8 @@ def test_variant_table_half_exact():
 def test_variant_delta0_and_unsupported():
     pos, rep = kmer.variant_table(5, 0, 4, True)
     assert list(pos) == [-1]
-    with pytest.raises(NotImplementedError):
+    # delta >= 2 is served by pigeonhole seeding, not enumeration
+    with pytest.raises(ValueError):
         kmer.variant_table(5, 2, 4, True)
 
 
