@@ -60,3 +60,26 @@ def test_bisulfite_unconverted_still_hits(bs_db, tmp_path):
     assert r.returncode == 0, r.stderr
     rows = read_m8(out)
     assert rows and rows[0][2] == "100.00"
+
+
+def test_bisulfite_seed_delta2_pigeonhole(bs_db, tmp_path):
+    """delta >= 2 pigeonhole verification must use the per-frame-parity BS
+    reduction tables (fwd for even subject frames, rev for odd)."""
+    genome, lit = bs_db
+    # converted read with extra dense mutations (2+ per 17-mer window)
+    read = list(genome[100:180].replace("C", "T"))
+    swap = {"A": "G", "G": "T", "T": "A"}
+    for p in range(4, len(read), 8):
+        read[p] = swap.get(read[p], "A")
+    q = tmp_path / "reads.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("noisy", "".join(read).encode())])
+    out = tmp_path / "out_d2.m8"
+    r = run_cli("searchbs", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "--seed-delta", "2", "--search0", "OFF",
+                "--adaptive-seeding", "0", "--pre-scoring", "0",
+                "-e", "1e-2", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    assert rows, "BS pigeonhole seeding found nothing"
+    assert rows[0][1] == "chr1"
+    assert 95 <= int(rows[0][8]) <= 105
