@@ -300,3 +300,52 @@ def test_profiles_run_and_find_hits(profile, protein_db, tmp_path):
     rows = read_m8(out)
     assert rows and rows[0][1].startswith("GYRA")
     assert float(rows[0][2]) == 100.0
+
+
+def test_blastn_with_N_bases(tmp_path):
+    """dna5 inputs: 'N' maps to fixed-seed pseudo-random ACGT in the index
+    (view_dna_n_to_random.hpp) and in query frames; alignment still found."""
+    rng = np.random.default_rng(31)
+    s1 = list("".join(rng.choice(list("ACGT"), 400)))
+    for p in (50, 150, 250, 350):
+        s1[p] = "N"
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("subjN", "".join(s1).encode())])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexn", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+    # query with its own N's
+    q_seq = list("".join(s1[100:170]))
+    q_seq[30] = "N"
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("qN", "".join(q_seq).encode())])
+    out = tmp_path / "out.m8"
+    r = run_cli("searchn", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    assert rows and rows[0][1] == "subjN"
+    assert int(rows[0][8]) == 101 and int(rows[0][9]) == 170
+
+
+def test_murphy10_reduction_index(tmp_path):
+    """mkindexp -r murphy10: seeding in the Murphy 10-letter alphabet,
+    alignment still in aa27 (BASELINE config 3)."""
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("GYRA_ECOLI", GYRA.encode())])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                   "-r", "murphy10", "-v", "0").returncode == 0
+    q = tmp_path / "q.fasta"
+    # distant homolog-ish: mutate within murphy classes would stay seedable;
+    # use a plain fragment with scattered mutations
+    frag = list(GYRA[100:180])
+    frag[10], frag[40], frag[70] = "A", "G", "S"
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", "".join(frag).encode())])
+    out = tmp_path / "out.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    assert rows and rows[0][1] == "GYRA_ECOLI"
+    assert int(rows[0][8]) == 101 and int(rows[0][9]) == 180
