@@ -150,6 +150,10 @@ def search_main(sub: str, argv: list[str]) -> int:
     p.add_argument("-p", "--profile", default="none",
                    choices=("none", "fast", "sensitive", "pairs-default", "pairs-sensitive"))
     p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("--db-shards", type=int, default=1,
+                   help="shard the database index over this many devices "
+                        "of the mesh (data-parallel queries, all_gather "
+                        "hit merge)")
     p.add_argument("-v", "--verbosity", type=int, default=1, choices=(0, 1, 2))
     p.add_argument("--adaptive-seeding", default="1", choices=("0", "1"))
     p.add_argument("--seed-half-exact", default="1", choices=("0", "1"))
@@ -223,6 +227,7 @@ def search_main(sub: str, argv: list[str]) -> int:
     opt.sam_bam_hard_clip = args.sam_bam_clip == "hard"
     opt.version_to_output_file = args.version_to_outputfile == "1"
     opt.lazy_qry_file = args.lazy_query
+    opt.db_shards = args.db_shards
     opt.qry_orig_alphabet = args.input_alphabet
     opt.query_batch_size = args.query_batch
 

@@ -139,6 +139,7 @@ class LambdaOptions:
     profile: str = "none"
 
     threads: int = 1
+    db_shards: int = 1          # database shards over the device mesh
     verbosity: int = 1
     command_line: str = ""
 

@@ -138,6 +138,44 @@ class SearchContext:
         self._seeders: dict = {}
         self._d_red_sbj = None
 
+        # --- optional database sharding over the device mesh (P7)
+        self.db_shards = max(1, int(getattr(opt, "db_shards", 1)))
+        self.mesh = None
+        if self.db_shards > 1:
+            import jax
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            from ..parallel import mesh as pmesh
+
+            devs = jax.devices()
+            if len(devs) < self.db_shards:
+                raise RuntimeError(
+                    f"--db-shards {self.db_shards} needs that many devices; "
+                    f"only {len(devs)} available.")
+            self.mesh = Mesh(np.array(devs[: self.db_shards]), ("db",))
+            o = idx.trans_offsets
+            tf = [idx.trans_concat[o[i]:o[i + 1]] for i in range(len(o) - 1)]
+            rf = fr.reduce_frames(tf, idx.trans_alph, idx.red_alph)
+            sh = pmesh.build_index_shards(
+                tf, rf, ab.ALPHABET_SIZES[idx.red_alph], self.db_shards)
+            self.shard_base = sh["base"]
+
+            def put(x, *axes):
+                return jax.device_put(
+                    x, NamedSharding(self.mesh, P(*axes)))
+
+            self.d_sh = dict(
+                keys=put(sh["keys"], "db", None, None),
+                pos=put(sh["pos"], "db", None),
+                frame=put(sh["frame"], "db", None),
+                rows=put(sh["rows"], "db"),
+                offsets=put(sh["offsets"], "db", None),
+                lengths=put(sh["lengths"], "db", None),
+                trans=put(sh["trans"], "db", None),
+                red=put(sh["red"], "db", None),
+                base=put(sh["base"], "db"),
+            )
+            self._sharded_steps: dict = {}
+
     @property
     def d_red_sbj(self):
         """Reduced-alphabet subject concat (device); needed only by
@@ -151,6 +189,38 @@ class SearchContext:
                    else np.zeros(0, np.uint8)).astype(np.int8)
             self._d_red_sbj = jnp.asarray(cat)
         return self._d_red_sbj
+
+    def _sharded_hits(self, so, d_red_q, d_trans_q, d_qlens, slot_frame,
+                      slot_begin, slot_rem, Q, stats):
+        """Seed/locate/prescore over the 'db'-sharded index; combine the
+        per-shard hit arrays on the host with global frame ids."""
+        step = self.sharded_step_for(so)
+        with stats.timed("time_seed"):
+            outs = step(self.d_sh["keys"], self.d_sh["pos"],
+                        self.d_sh["frame"], self.d_sh["rows"],
+                        self.d_sh["offsets"], self.d_sh["lengths"],
+                        self.d_sh["trans"], self.d_sh["red"],
+                        self.d_sh["base"],
+                        d_red_q, d_qlens, jnp.asarray(slot_frame),
+                        jnp.asarray(slot_begin), jnp.asarray(slot_rem),
+                        jnp.zeros(Q, jnp.int32), d_trans_q,
+                        self.d_sub_fwd, self.d_sub_rev)
+        with stats.timed("time_locate"):
+            (q_frame, q_begin, seed_len, s_frame, s_off, valid, passed,
+             located, overflow, failed_pre, cur_over) = \
+                [np.asarray(o) for o in outs]
+        D = q_frame.shape[0]
+        s_frame = s_frame + self.shard_base[:, None]
+        hits = dict(
+            q_frame=q_frame.reshape(-1), q_begin=q_begin.reshape(-1),
+            seed_len=seed_len.reshape(-1), s_frame=s_frame.reshape(-1),
+            s_off=s_off.reshape(-1), valid=valid.reshape(-1),
+            passed=passed.reshape(-1))
+        st2 = dict(hits_located=int(located.sum()),
+                   hits_overflow=int(overflow.sum()),
+                   failed_prescore=int(failed_pre.sum()),
+                   cursors_overflow=int(cur_over.sum()))
+        return hits, st2
 
     def query_frame(self, q_seq: np.ndarray, frame_idx: int) -> np.ndarray:
         """Regenerate one translated frame of a query (used at output time
@@ -206,6 +276,16 @@ class SearchContext:
             self._seeders[key] = (cfg, seeding.make_seeder(cfg))
         return self._seeders[key]
 
+    def sharded_step_for(self, so: opt_mod.SearchOpts):
+        from ..parallel import mesh as pmesh
+
+        key = (so.seed_length, so.seed_offset, so.max_seed_dist)
+        if key not in self._sharded_steps:
+            _, (_, _, fused) = self.seeder_for(so)
+            self._sharded_steps[key] = pmesh.make_sharded_seeder(
+                self.mesh, fused)
+        return self._sharded_steps[key]
+
     # -----------------------------------------------------------------
     # per-batch processing (one phase)
     # -----------------------------------------------------------------
@@ -259,16 +339,22 @@ class SearchContext:
             else jnp.zeros(1, jnp.int8)
         # single fused dispatch: seed scan -> device cursor compaction ->
         # locate/verify/prescore; only the hit arrays come back
-        with stats.timed("time_seed"):
-            res2 = fused(self.d_keys, d_red_q, d_qlens,
-                         jnp.asarray(slot_frame), jnp.asarray(slot_begin),
-                         jnp.asarray(slot_rem), jnp.zeros(Q, jnp.int32),
-                         self.d_pos, self.d_frame, self.d_sbj_offsets,
-                         self.d_sbj_lens, self.d_trans_sbj, d_trans_q,
-                         d_red_sbj, self.d_sub_fwd, self.d_sub_rev)
-        with stats.timed("time_locate"):
-            hits = {k: np.asarray(v) for k, v in res2.items() if k != "stats"}
-        st2 = {k: int(v) for k, v in res2["stats"].items()}
+        if self.mesh is not None:
+            hits, st2 = self._sharded_hits(
+                so, d_red_q, d_trans_q, d_qlens, slot_frame, slot_begin,
+                slot_rem, Q, stats)
+        else:
+            with stats.timed("time_seed"):
+                res2 = fused(self.d_keys, d_red_q, d_qlens,
+                             jnp.asarray(slot_frame), jnp.asarray(slot_begin),
+                             jnp.asarray(slot_rem), jnp.zeros(Q, jnp.int32),
+                             self.d_pos, self.d_frame, self.d_sbj_offsets,
+                             self.d_sbj_lens, self.d_trans_sbj, d_trans_q,
+                             d_red_sbj, self.d_sub_fwd, self.d_sub_rev)
+            with stats.timed("time_locate"):
+                hits = {k: np.asarray(v)
+                        for k, v in res2.items() if k != "stats"}
+            st2 = {k: int(v) for k, v in res2["stats"].items()}
         stats.hits_after_seeding += st2["hits_located"]
         stats.hits_failed_pre_extend += st2["failed_prescore"]
         stats.hits_overflow += st2["hits_overflow"]

@@ -44,7 +44,8 @@ def run_cli(*args) -> subprocess.CompletedProcess:
              "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
              "HOME": "/root",
              "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
-             "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1"},
+             "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
         check=False)
 
 

@@ -174,3 +174,36 @@ def test_sharded_seeder_matches_single_device(n_db):
     ref = run_single()
     assert ref, "fixture found no hits"
     assert run_sharded(n_db) == ref
+
+
+def test_cli_db_shards_matches_unsharded(tmp_path):
+    """searchp --db-shards N must produce byte-identical output to the
+    unsharded run (adaptive seeding off for exact seed parity)."""
+    from tests.test_e2e import GYRA, run_cli
+
+    from lambda_tpu.io import fasta
+
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [
+        fasta.SeqRecord("GYRA_ECOLI", GYRA.encode()),
+        fasta.SeqRecord("OTHER1", GYRA[::-1].encode()),
+        fasta.SeqRecord("OTHER2",
+                        b"MNKQRSTVWYACDEFGHILMNPQRSTVWYACDEFGHIKLM" * 4),
+    ])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [
+        fasta.SeqRecord("q1", GYRA[50:130].encode()),
+        fasta.SeqRecord("q2", GYRA[300:380].encode())])
+    outs = {}
+    for shards in (1, 2, 4):
+        out = tmp_path / f"out{shards}.m8"
+        r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                    "--db-shards", str(shards), "--adaptive-seeding", "0",
+                    "-v", "0")
+        assert r.returncode == 0, r.stderr
+        outs[shards] = out.read_text()
+    assert outs[1] == outs[2] == outs[4]
+    assert "GYRA_ECOLI" in outs[1]
