@@ -72,6 +72,13 @@ def get_lib():
         u8p, ctypes.c_int32, i32p,           # ops, ops_stride, ops_len
     ]
     lib.sw_traceback_batch.restype = None
+    lib.sw_score_batch_host.argtypes = [
+        i32p, ctypes.c_int32, i32p,
+        i32p, ctypes.c_int32, i32p,
+        ctypes.c_int32, i32p, ctypes.c_int32,
+        i32p, u8p, ctypes.c_int32, ctypes.c_int32, i32p,
+    ]
+    lib.sw_score_batch_host.restype = None
     lib.bgzf_compress_block.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32,
                                         u8p, ctypes.c_int32]
     lib.bgzf_compress_block.restype = ctypes.c_int32
@@ -226,3 +233,40 @@ def pack_position_keys(concat: np.ndarray, offsets: np.ndarray,
                            offsets.ctypes.data_as(i64p), len(offsets) - 1,
                            bits, words, keys.ctypes.data_as(u32p))
     return keys
+
+
+def sw_score_batch(q_list, s_list, subst: np.ndarray,
+                   gap_first: int, gap_extend: int,
+                   subst_rev: np.ndarray | None = None,
+                   use_rev: np.ndarray | None = None) -> np.ndarray:
+    """Batched score-only local SW on the host (pass-1 CPU fallback)."""
+    lib = get_lib()
+    assert lib is not None
+    B = len(q_list)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    qs = max((len(x) for x in q_list), default=1) or 1
+    ss = max((len(x) for x in s_list), default=1) or 1
+    q = np.zeros((B, qs), dtype=np.int32)
+    s = np.zeros((B, ss), dtype=np.int32)
+    qlen = np.zeros(B, dtype=np.int32)
+    slen = np.zeros(B, dtype=np.int32)
+    for i, (qq, sq) in enumerate(zip(q_list, s_list)):
+        q[i, :len(qq)] = qq
+        s[i, :len(sq)] = sq
+        qlen[i] = len(qq)
+        slen[i] = len(sq)
+    sub = np.ascontiguousarray(subst, dtype=np.int32)
+    sub_rev = (np.ascontiguousarray(subst_rev, dtype=np.int32)
+               if subst_rev is not None else None)
+    urev = (np.ascontiguousarray(use_rev, dtype=np.uint8)
+            if use_rev is not None else None)
+    score = np.zeros(B, dtype=np.int32)
+    lib.sw_score_batch_host(
+        _ptr(q, i32p), qs, _ptr(qlen, i32p),
+        _ptr(s, i32p), ss, _ptr(slen, i32p),
+        B, _ptr(sub, i32p), sub.shape[0],
+        _ptr(sub_rev, i32p) if sub_rev is not None else None,
+        _ptr(urev, u8p) if urev is not None else None,
+        int(gap_first), int(gap_extend), _ptr(score, i32p))
+    return score.astype(np.int64)

@@ -171,11 +171,27 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
     if n == 0:
         return scores, traces
 
+    from .. import native
+    if not with_trace and not _use_pallas() and native.get_lib() is not None:
+        # CPU backends: score pass on the host (OpenMP), no padding needed
+        q_list = [q_frames[m.qry_id[i]][m.qry_start[i]:m.qry_end[i]]
+                  for i in range(n)]
+        s_list = [s_window.window(int(m.subj_id[i]), int(m.subj_start[i]),
+                                  int(m.subj_end[i])) for i in range(n)]
+        rev = (np.asarray(m.subj_id) % 2 == 1).astype(np.uint8) \
+            if bs_split else None
+        scores = native.sw_score_batch(
+            q_list, s_list, np.asarray(subst_ext_fwd, dtype=np.int32),
+            gap_first, gap_extend,
+            subst_rev=(np.asarray(subst_ext_rev, dtype=np.int32)
+                       if bs_split else None),
+            use_rev=rev)
+        return scores, traces
+
     if with_trace:
         # traceback pass over the few survivors: native C++ host DP
         # (search_algo.hpp:1296 equivalent); identical semantics to the
         # device/XLA path, without shipping direction matrices off-device
-        from .. import native
         if native.get_lib() is not None:
             q_list = [q_frames[m.qry_id[i]][m.qry_start[i]:m.qry_end[i]]
                       for i in range(n)]

@@ -145,6 +145,57 @@ static int32_t sw_one(const int32_t* q, int32_t qlen,
     return best;
 }
 
+// Score-only SW (pass 1 CPU fallback): O(qlen) memory, no traceback.
+static int32_t sw_score_one(const int32_t* q, int32_t qlen,
+                            const int32_t* s, int32_t slen,
+                            const int32_t* subst, int32_t alph,
+                            int32_t gap_first, int32_t gap_extend) {
+    std::vector<int32_t> H(qlen + 1, 0), E(qlen + 1, NEG);
+    int32_t best = 0;
+    for (int32_t j = 1; j <= slen; ++j) {
+        const int32_t* scol = subst + (int64_t)s[j - 1];
+        int32_t f = NEG;
+        int32_t h_diag = H[0];   // H(0, j-1) == 0
+        int32_t h_up = 0;        // H(0, j)   == 0
+        for (int32_t i = 1; i <= qlen; ++i) {
+            int32_t e = E[i] + gap_extend;
+            int32_t eo = H[i] + gap_first;
+            if (eo > e) e = eo;
+            int32_t fo = h_up + gap_first;
+            f += gap_extend;
+            if (fo > f) f = fo;
+            int32_t h = h_diag + scol[(int64_t)q[i - 1] * alph];
+            if (h < 0) h = 0;
+            if (e > h) h = e;
+            if (f > h) h = f;
+            h_diag = H[i];
+            H[i] = h;
+            E[i] = e;
+            h_up = h;
+            if (h > best) best = h;
+        }
+    }
+    return best;
+}
+
+void sw_score_batch_host(const int32_t* q, int32_t q_stride,
+                         const int32_t* qlen,
+                         const int32_t* s, int32_t s_stride,
+                         const int32_t* slen, int32_t B,
+                         const int32_t* subst, int32_t alph,
+                         const int32_t* subst_rev, const uint8_t* use_rev,
+                         int32_t gap_first, int32_t gap_extend,
+                         int32_t* score_out) {
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int32_t b = 0; b < B; ++b) {
+        const int32_t* mat =
+            (subst_rev && use_rev && use_rev[b]) ? subst_rev : subst;
+        score_out[b] = sw_score_one(q + (int64_t)b * q_stride, qlen[b],
+                                    s + (int64_t)b * s_stride, slen[b],
+                                    mat, alph, gap_first, gap_extend);
+    }
+}
+
 // Batched entry point.  q/s are (B, q_stride)/(B, s_stride) row-major
 // int32 rank arrays; per-row lengths in qlen/slen.  ops_out is
 // (B, ops_stride) uint8 receiving ops from alignment START to END.

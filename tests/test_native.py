@@ -129,3 +129,19 @@ def test_merge_passes_matches_python():
     np.testing.assert_array_equal(nkeep, pkeep)
     for a, b in zip(arrs, p):
         np.testing.assert_array_equal(a, b)
+
+
+@needs_native
+def test_native_score_batch_matches_reference():
+    A = 8
+    rng = np.random.default_rng(3)
+    subst = rng.integers(-3, 4, size=(A, A)).astype(np.int32)
+    np.fill_diagonal(subst, 6)
+    q_list = [rng.integers(0, A, size=rng.integers(3, 60)).astype(np.int32)
+              for _ in range(25)]
+    s_list = [rng.integers(0, A, size=rng.integers(3, 70)).astype(np.int32)
+              for _ in range(25)]
+    got = native.sw_score_batch(q_list, s_list, subst, -9, -2)
+    want = [sw_xla.sw_reference(q, s, subst, -9, -2)
+            for q, s in zip(q_list, s_list)]
+    np.testing.assert_array_equal(got, want)
