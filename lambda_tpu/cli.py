@@ -100,6 +100,10 @@ def mkindex_main(sub: str, argv: list[str]) -> int:
                        choices=("auto", "dna5", "aminoacid"))
         p.add_argument("-r", "--alphabet-reduction", default="li10",
                        choices=("none", "murphy10", "li10"))
+    p.add_argument("--kmer-words", type=int, default=4, choices=(2, 3, 4),
+                   help="uint32 key words per index position; fewer words "
+                        "halve index size but cap seed length + adaptive "
+                        "elongation at words*chars_per_word characters")
     p.add_argument("--dump-json", default="", help="also write a JSON debug dump")
     args = p.parse_args(argv)
 
@@ -116,6 +120,7 @@ def mkindex_main(sub: str, argv: list[str]) -> int:
         alphabet_reduction=getattr(args, "alphabet_reduction", "li10"),
         threads=args.threads,
         verbosity=args.verbosity,
+        kmer_words=args.kmer_words,
     )
 
     import os

@@ -136,7 +136,8 @@ def build_index(opts: opt_mod.IndexerOptions, verbose_print=None) -> IndexData:
                                     opts.genetic_code)
     red = fr.reduce_frames(trans, trans_alph, red_alph)
     red_concat, offsets, _ = fr.concat_frames(red)
-    kmer = build_kmer_index(red_concat, offsets, ab.ALPHABET_SIZES[red_alph])
+    kmer = build_kmer_index(red_concat, offsets, ab.ALPHABET_SIZES[red_alph],
+                            words=opts.kmer_words)
     vp(f"Generated index over {len(red_concat)} positions in {time.time()-t0:.2f}s")
 
     idx = IndexData(

@@ -263,6 +263,7 @@ class IndexerOptions:
     genetic_code: int = 1
     threads: int = 1
     verbosity: int = 1
+    kmer_words: int = 4     # uint32 key words per position: capacity/size knob
 
     @property
     def has_s_tax_ids(self) -> bool:

@@ -135,6 +135,17 @@ class SearchContext:
         self.unknown_rank = (ab.AA27_CHAR_TO_RANK[ord("X")]
                              if idx.trans_alph == ab.AMINO_ACID else 4)
 
+        # seed lengths must fit the index's packed-key capacity
+        cap = idx.kmer.capacity
+        phases = [opt.search_opts] + ([opt.search_opts0]
+                                      if opt.iterative_search else [])
+        for so in phases:
+            if so.seed_length > cap:
+                raise RuntimeError(
+                    f"--seed-length {so.seed_length} exceeds this index's "
+                    f"key capacity ({cap} characters); rebuild the index "
+                    "with more --kmer-words or use a shorter seed.")
+
         self._seeders: dict = {}
         self._d_red_sbj = None
 

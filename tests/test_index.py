@@ -171,3 +171,26 @@ def test_blast_program_table():
     assert bp(ab.AMINO_ACID, ab.AMINO_ACID, ab.DNA5) == opt_mod.BlastProgram.TBLASTN
     assert bp(ab.AMINO_ACID, ab.DNA5, ab.DNA5) == opt_mod.BlastProgram.TBLASTX
     assert bp(ab.AMINO_ACID, ab.DNA5, ab.AMINO_ACID) == opt_mod.BlastProgram.BLASTX
+
+
+def test_kmer_words_2_index_and_search(tmp_path):
+    """--kmer-words 2 halves key size; search works while seeds fit, and
+    over-long seeds get a friendly capacity error."""
+    from tests.test_e2e import GYRA, run_cli, read_m8
+    from lambda_tpu.io import fasta
+
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("GYRA_ECOLI", GYRA.encode())])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                   "--kmer-words", "2", "-v", "0").returncode == 0
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", GYRA[50:130].encode())])
+    out = tmp_path / "out.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "-v", "0")
+    assert r.returncode == 0, r.stderr
+    assert read_m8(out)[0][1] == "GYRA_ECOLI"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "--seed-length", "24", "-v", "0")
+    assert r.returncode == 1 and "capacity" in r.stderr
