@@ -62,20 +62,25 @@ def main(argv: list[str] | None = None) -> int:
     except IndexException as e:
         print("ERROR: The following exception was thrown inside the program "
               "and relates to the database index:\n       "
-              f"{e}", file=sys.stderr)
+              f"{_strip_error_prefix(e)}", file=sys.stderr)
         return 1
     except QueryException as e:
         print("ERROR: The following exception was thrown inside the program "
               "and relates to the query input:\n       "
-              f"{e}", file=sys.stderr)
+              f"{_strip_error_prefix(e)}", file=sys.stderr)
         return 1
     except MemoryError:
         print("ERROR: out of memory. Split your file into smaller segments "
               "or use --lazy-query.", file=sys.stderr)
         return 1
-    except (RuntimeError, ValueError, OSError) as e:
-        print(f"ERROR: {e}", file=sys.stderr)
+    except (RuntimeError, TypeError, ValueError, OSError) as e:
+        print(f"ERROR: {_strip_error_prefix(e)}", file=sys.stderr)
         return 1
+
+
+def _strip_error_prefix(e: BaseException) -> str:
+    msg = str(e)
+    return msg[7:] if msg.startswith("ERROR: ") else msg
 
 
 def _myprint(verbosity: int, level: int, *msg) -> None:

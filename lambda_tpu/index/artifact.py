@@ -250,16 +250,16 @@ def load_index(path: str) -> IndexData:
 
     try:
         header = read_index_options(path)
+    except RuntimeError as e:
+        # generation mismatch raised inside read_index_options
+        msg = str(e)
+        raise IndexException(msg[7:] if msg.startswith("ERROR: ")
+                             else msg) from e
     except (OSError, KeyError, ValueError) as e:
         raise IndexException(
             f"could not open or parse the index at '{path}': {e}\n"
             "       Did you create it with the same version's mkindex*?") \
             from e
-    if header.get("generation") != INDEX_GENERATION:
-        raise IndexException(
-            f"the index at '{path}' has generation "
-            f"{header.get('generation')} but this version requires "
-            f"{INDEX_GENERATION}.  Please re-create it with mkindex*.")
     with np.load(path, allow_pickle=False) as z:
         ids = _unpack_strings(z["ids"])
         seq_concat = z["seq_concat"]

@@ -220,56 +220,71 @@ def make_demo_inputs(cfg: StepConfig, n_q: int, q_len: int, db_seq_len: int,
 # ---------------------------------------------------------------------------
 
 
-def build_index_shards(trans_frames: list[np.ndarray],
-                       red_frames: list[np.ndarray], alphabet_size: int,
-                       n_shards: int, words: int = 4):
-    """Shard subject frames contiguously; per shard build the k-mer index
-    plus the local subject tensors stage 2 needs.  All arrays are padded
-    to equal shapes and stacked on a leading 'db' axis."""
-    from .. import frames as fr
+def shard_loaded_index(kmer: KmerIndex, trans_concat: np.ndarray,
+                       red_concat: np.ndarray, offsets: np.ndarray,
+                       lengths: np.ndarray, n_shards: int,
+                       frames_per_subject: int = 1):
+    """Derive per-shard index slices from an already-sorted k-mer index.
 
-    groups = np.array_split(np.arange(len(trans_frames)), n_shards)
+    Subjects (groups of ``frames_per_subject`` consecutive frames) are
+    split contiguously over shards — never splitting a subject, which
+    also keeps frame-id parity intact for the bisulfite fwd/rev matrix
+    selection.  Because the global rows are sorted and a stable filter
+    preserves order, each shard's rows are simply the global rows whose
+    frame falls in its range: no re-sort, no re-pack.
+
+    Returns stacked, padded arrays on a leading 'db' axis; frame ids and
+    concat positions are LOCAL to the shard (host adds ``base`` back).
+    """
+    fps = max(1, frames_per_subject)
+    F = len(offsets) - 1
+    n_subj = F // fps
+    groups = np.array_split(np.arange(n_subj), n_shards)
+    frame_global = kmer.frame.astype(np.int64)
     per = []
     for g in groups:
-        rf = [red_frames[i] for i in g]
-        tf = [trans_frames[i] for i in g]
-        red_concat, offsets, lengths = fr.concat_frames(rf)
-        trans_concat, _, _ = fr.concat_frames(tf)
-        idx = build_kmer_index(red_concat, offsets, alphabet_size, words=words)
-        per.append(dict(idx=idx, base=int(g[0]) if len(g) else 0,
-                        offsets=offsets, lengths=lengths,
-                        trans_concat=trans_concat, red_concat=red_concat))
+        f_lo = int(g[0]) * fps if len(g) else 0
+        f_hi = (int(g[-1]) + 1) * fps if len(g) else 0
+        mask = (frame_global >= f_lo) & (frame_global < f_hi)
+        p_lo = int(offsets[f_lo]) if f_hi > f_lo else 0
+        p_hi = int(offsets[f_hi]) if f_hi > f_lo else 0
+        per.append(dict(
+            keys=kmer.keys[mask],
+            pos=(kmer.pos[mask].astype(np.int64) - p_lo).astype(np.int32),
+            frame=(frame_global[mask] - f_lo).astype(np.int32),
+            offsets=(offsets[f_lo:f_hi] - p_lo).astype(np.int32)
+                if f_hi > f_lo else np.zeros(0, np.int32),
+            lengths=lengths[f_lo:f_hi].astype(np.int32),
+            trans=trans_concat[p_lo:p_hi].astype(np.int8),
+            red=red_concat[p_lo:p_hi].astype(np.int8),
+            base=f_lo,
+        ))
 
     D = len(per)
-    pmax = max(p["idx"].num_positions for p in per)
-    fmax = max(len(p["offsets"]) - 1 for p in per)
-    smax = max(len(p["trans_concat"]) for p in per)
+    words = kmer.words
+    pmax = max(max(len(p["pos"]) for p in per), 1)
+    fmax = max(max(len(p["offsets"]) for p in per), 1)
+    smax = max(max(len(p["trans"]) for p in per), 1)
     out = dict(
         keys=np.full((D, pmax, words), 0xFFFFFFFF, dtype=np.uint32),
         pos=np.zeros((D, pmax), dtype=np.int32),
         frame=np.zeros((D, pmax), dtype=np.int32),      # LOCAL frame ids
-        rows=np.zeros((D,), dtype=np.int32),
         offsets=np.zeros((D, fmax), dtype=np.int32),
         lengths=np.zeros((D, fmax), dtype=np.int32),
-        trans=np.zeros((D, max(smax, 1)), dtype=np.int8),
-        red=np.zeros((D, max(smax, 1)), dtype=np.int8),
+        trans=np.zeros((D, smax), dtype=np.int8),
+        red=np.zeros((D, smax), dtype=np.int8),
         base=np.zeros((D,), dtype=np.int32),
-        n_frames=np.zeros((D,), dtype=np.int32),
     )
     for i, p in enumerate(per):
-        n = p["idx"].num_positions
-        out["keys"][i, :n] = p["idx"].keys
-        out["pos"][i, :n] = p["idx"].pos.astype(np.int32)
-        out["frame"][i, :n] = p["idx"].frame.astype(np.int32)
-        out["rows"][i] = n
-        nf = len(p["offsets"]) - 1
-        out["offsets"][i, :nf] = p["offsets"][:-1].astype(np.int32)
-        out["lengths"][i, :nf] = p["lengths"].astype(np.int32)
-        out["trans"][i, :len(p["trans_concat"])] = \
-            p["trans_concat"].astype(np.int8)
-        out["red"][i, :len(p["red_concat"])] = p["red_concat"].astype(np.int8)
+        n = len(p["pos"])
+        out["keys"][i, :n] = p["keys"]
+        out["pos"][i, :n] = p["pos"]
+        out["frame"][i, :n] = p["frame"]
+        out["offsets"][i, :len(p["offsets"])] = p["offsets"]
+        out["lengths"][i, :len(p["lengths"])] = p["lengths"]
+        out["trans"][i, :len(p["trans"])] = p["trans"]
+        out["red"][i, :len(p["red"])] = p["red"]
         out["base"][i] = p["base"]
-        out["n_frames"][i] = nf
     return out
 
 
@@ -284,7 +299,7 @@ def make_sharded_seeder(mesh: Mesh, fused):
     packed prefix (ranks are stored +1 in the top bits, always < 0xF...),
     so searching the padded row range is equivalent to the exact range."""
 
-    def local(keys, pos, frame, rows, offsets, lengths, trans, red, base,
+    def local(keys, pos, frame, offsets, lengths, trans, red,
               red_q, qlens, slot_frame, slot_begin, slot_rem, hits0,
               trans_q, subst_fwd, subst_rev):
         res = fused(keys[0], red_q, qlens,
@@ -304,8 +319,8 @@ def make_sharded_seeder(mesh: Mesh, fused):
     step = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P_("db", None, None), P_("db", None), P_("db", None),
-                  P_("db"), P_("db", None), P_("db", None),
-                  P_("db", None), P_("db", None), P_("db"),
+                  P_("db", None), P_("db", None),
+                  P_("db", None), P_("db", None),
                   P_(None, None), P_(None),
                   P_(None, None), P_(None, None), P_(None, None), P_(None),
                   P_(None, None), P_(None, None), P_(None, None)),

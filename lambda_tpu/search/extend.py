@@ -24,15 +24,21 @@ import jax.numpy as jnp
 from ..ops import sw_xla, sw_pallas
 
 
-def _use_pallas() -> bool:
-    """Pallas score kernel on real TPU backends; XLA scan fallback on CPU
-    (Mosaic interpret mode is far too slow for production CPU use)."""
+def _score_kernel() -> str:
+    """Score-pass backend: 'pallas' (device kernel) on TPU backends,
+    'native' (C++ host) on CPU, 'xla' (scan kernel) as the last resort.
+    LAMBDA_SW_KERNEL=pallas|native|xla overrides."""
     mode = os.environ.get("LAMBDA_SW_KERNEL", "auto")
-    if mode == "pallas":
-        return True
-    if mode == "xla":
-        return False
-    return jax.default_backend() not in ("cpu",)
+    if mode in ("pallas", "native", "xla"):
+        return mode
+    if jax.default_backend() not in ("cpu",):
+        return "pallas"
+    from .. import native
+    return "native" if native.get_lib() is not None else "xla"
+
+
+def _use_pallas() -> bool:
+    return _score_kernel() == "pallas"
 
 
 def band_size(qlen: int | np.ndarray):
@@ -172,7 +178,8 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
         return scores, traces
 
     from .. import native
-    if not with_trace and not _use_pallas() and native.get_lib() is not None:
+    if not with_trace and _score_kernel() == "native" \
+            and native.get_lib() is not None:
         # CPU backends: score pass on the host (OpenMP), no padding needed
         q_list = [q_frames[m.qry_id[i]][m.qry_start[i]:m.qry_end[i]]
                   for i in range(n)]

@@ -107,12 +107,15 @@ class SearchContext:
         self.evaluer = statistics.EValuer(
             self.ka_params, idx.db_total_length, self.program.q_translated)
 
-        # --- device-resident index
-        self.d_keys = jnp.asarray(idx.kmer.keys)
-        self.d_pos = jnp.asarray(idx.kmer.pos.astype(np.int32))
-        self.d_frame = jnp.asarray(idx.kmer.frame.astype(np.int32))
+        # --- device-resident index (the seeding tensors are skipped when
+        # the index is sharded over a mesh; see below)
+        self.db_shards = max(1, int(getattr(opt, "db_shards", 1)))
+        if self.db_shards == 1:
+            self.d_keys = jnp.asarray(idx.kmer.keys)
+            self.d_pos = jnp.asarray(idx.kmer.pos.astype(np.int32))
+            self.d_frame = jnp.asarray(idx.kmer.frame.astype(np.int32))
+            self.d_sbj_lens = jnp.asarray(idx.trans_lengths.astype(np.int32))
         self.d_sbj_offsets = jnp.asarray(idx.trans_offsets[:-1].astype(np.int32))
-        self.d_sbj_lens = jnp.asarray(idx.trans_lengths.astype(np.int32))
         self.d_trans_sbj = jnp.asarray(idx.trans_concat.astype(np.int8))
 
         # prescore matrices over trans alphabet
@@ -149,8 +152,11 @@ class SearchContext:
         self._seeders: dict = {}
         self._d_red_sbj = None
 
-        # --- optional database sharding over the device mesh (P7)
-        self.db_shards = max(1, int(getattr(opt, "db_shards", 1)))
+        # --- optional database sharding over the device mesh (P7):
+        # shards are derived from the already-sorted loaded index (a stable
+        # frame-range filter of the sorted rows), grouped by SUBJECT so all
+        # frames of a subject share a shard and frame-id parity (the
+        # bisulfite fwd/rev matrix selector) is preserved
         self.mesh = None
         if self.db_shards > 1:
             import jax
@@ -166,8 +172,12 @@ class SearchContext:
             o = idx.trans_offsets
             tf = [idx.trans_concat[o[i]:o[i + 1]] for i in range(len(o) - 1)]
             rf = fr.reduce_frames(tf, idx.trans_alph, idx.red_alph)
-            sh = pmesh.build_index_shards(
-                tf, rf, ab.ALPHABET_SIZES[idx.red_alph], self.db_shards)
+            red_concat = (np.concatenate(rf) if rf
+                          else np.zeros(0, np.uint8))
+            sh = pmesh.shard_loaded_index(
+                idx.kmer, idx.trans_concat, red_concat, idx.trans_offsets,
+                idx.trans_lengths, self.db_shards,
+                frames_per_subject=self.sbj_num_frames)
             self.shard_base = sh["base"]
 
             def put(x, *axes):
@@ -178,12 +188,10 @@ class SearchContext:
                 keys=put(sh["keys"], "db", None, None),
                 pos=put(sh["pos"], "db", None),
                 frame=put(sh["frame"], "db", None),
-                rows=put(sh["rows"], "db"),
                 offsets=put(sh["offsets"], "db", None),
                 lengths=put(sh["lengths"], "db", None),
                 trans=put(sh["trans"], "db", None),
                 red=put(sh["red"], "db", None),
-                base=put(sh["base"], "db"),
             )
             self._sharded_steps: dict = {}
 
@@ -208,10 +216,9 @@ class SearchContext:
         step = self.sharded_step_for(so)
         with stats.timed("time_seed"):
             outs = step(self.d_sh["keys"], self.d_sh["pos"],
-                        self.d_sh["frame"], self.d_sh["rows"],
+                        self.d_sh["frame"],
                         self.d_sh["offsets"], self.d_sh["lengths"],
                         self.d_sh["trans"], self.d_sh["red"],
-                        self.d_sh["base"],
                         d_red_q, d_qlens, jnp.asarray(slot_frame),
                         jnp.asarray(slot_begin), jnp.asarray(slot_rem),
                         jnp.zeros(Q, jnp.int32), d_trans_q,

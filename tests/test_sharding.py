@@ -137,10 +137,14 @@ def test_sharded_seeder_matches_single_device(n_db):
 
     def run_sharded(n_db):
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from lambda_tpu.index.build import build_kmer_index as bki
         devices = np.array(jax.devices("cpu")[:n_db])
         mesh = Mesh(devices, ("db",))
         tf = [f.astype(np.uint8) for f in trans_frames]
-        sh = pmesh.build_index_shards(tf, tf, A, n_db)
+        concat, offsets, lengths = fr.concat_frames(tf)
+        kidx = bki(concat, offsets, A)
+        sh = pmesh.shard_loaded_index(kidx, concat, concat, offsets,
+                                      lengths, n_db)
         step = pmesh.make_sharded_seeder(mesh, fused)
 
         def put(x, spec):
@@ -150,10 +154,9 @@ def test_sharded_seeder_matches_single_device(n_db):
         outs = step(
             put(sh["keys"], P_("db", None, None)),
             put(sh["pos"], P_("db", None)), put(sh["frame"], P_("db", None)),
-            put(sh["rows"], P_("db")), put(sh["offsets"], P_("db", None)),
+            put(sh["offsets"], P_("db", None)),
             put(sh["lengths"], P_("db", None)),
             put(sh["trans"], P_("db", None)), put(sh["red"], P_("db", None)),
-            put(sh["base"], P_("db")),
             put(red_q, P_(None, None)), put(qlens, P_(None)),
             put(slot_frame, P_(None, None)), put(slot_begin, P_(None, None)),
             put(slot_rem, P_(None, None)),
@@ -207,3 +210,63 @@ def test_cli_db_shards_matches_unsharded(tmp_path):
         outs[shards] = out.read_text()
     assert outs[1] == outs[2] == outs[4]
     assert "GYRA_ECOLI" in outs[1]
+
+
+def test_cli_db_shards_bisulfite_parity(tmp_path):
+    """Bisulfite sharded search: fwd/rev matrices differ per frame parity,
+    so shard frame bases must stay aligned to subjects (x2 frames).  Three
+    chromosomes over 4 shards exercises odd split points."""
+    from tests.test_e2e import run_cli
+
+    from lambda_tpu.io import fasta
+
+    rng = np.random.default_rng(77)
+    genomes = ["".join(rng.choice(list("ACGT"), 300)) for _ in range(3)]
+    db = tmp_path / "g.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord(f"chr{i}", g.encode())
+                           for i, g in enumerate(genomes)])
+    lit = tmp_path / "g.lit"
+    assert run_cli("mkindexbs", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+    reads = []
+    for i, g in enumerate(genomes):
+        reads.append(fasta.SeqRecord(f"r{i}_fwd",
+                                     g[100:180].replace("C", "T").encode()))
+    q = tmp_path / "reads.fasta"
+    fasta.write_fasta(q, reads)
+    outs = {}
+    for shards in (1, 4):
+        out = tmp_path / f"bs{shards}.m8"
+        r = run_cli("searchbs", "-q", str(q), "-i", str(lit), "-o", str(out),
+                    "--db-shards", str(shards), "--adaptive-seeding", "0",
+                    "-v", "0")
+        assert r.returncode == 0, r.stderr
+        outs[shards] = out.read_text()
+    assert outs[1] == outs[4]
+    assert "r0_fwd" in outs[1] and "r2_fwd" in outs[1]
+
+
+def test_cli_db_shards_kmer_words2(tmp_path):
+    """Sharded search over an index built with --kmer-words 2 (the shard
+    slices must inherit the index's word count)."""
+    from tests.test_e2e import GYRA, run_cli
+
+    from lambda_tpu.io import fasta
+
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("GYRA_ECOLI", GYRA.encode()),
+                           fasta.SeqRecord("OTHER", GYRA[::-1].encode())])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                   "--kmer-words", "2", "-v", "0").returncode == 0
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", GYRA[50:130].encode())])
+    outs = {}
+    for shards in (1, 2):
+        out = tmp_path / f"w2s{shards}.m8"
+        r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                    "--db-shards", str(shards), "--adaptive-seeding", "0",
+                    "-v", "0")
+        assert r.returncode == 0, r.stderr
+        outs[shards] = out.read_text()
+    assert outs[1] == outs[2] and "GYRA_ECOLI" in outs[1]
