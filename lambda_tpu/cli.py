@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 1 if argv else 0
     argv.remove(sub)
+    # --threads feeds the native library's OpenMP regions (index sort,
+    # host traceback/score passes); must be set before the lib loads
+    for i, a in enumerate(argv):
+        if a in ("-t", "--threads") and i + 1 < len(argv):
+            os.environ.setdefault("OMP_NUM_THREADS", argv[i + 1])
     from .misc import IndexException, QueryException
     try:
         if sub.startswith("mkindex"):

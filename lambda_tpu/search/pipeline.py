@@ -210,10 +210,10 @@ class SearchContext:
         return self._d_red_sbj
 
     def _sharded_hits(self, so, d_red_q, d_trans_q, d_qlens, slot_frame,
-                      slot_begin, slot_rem, Q, stats):
+                      slot_begin, slot_rem, Q, stats, scale=1):
         """Seed/locate/prescore over the 'db'-sharded index; combine the
         per-shard hit arrays on the host with global frame ids."""
-        step = self.sharded_step_for(so)
+        step = self.sharded_step_for(so, scale)
         with stats.timed("time_seed"):
             outs = step(self.d_sh["keys"], self.d_sh["pos"],
                         self.d_sh["frame"],
@@ -272,8 +272,10 @@ class SearchContext:
             3 if self.program.q_translated else 1,
             3 if self.program.s_translated else 1)
 
-    def seeder_for(self, so: opt_mod.SearchOpts):
-        key = (so.seed_length, so.seed_offset, so.max_seed_dist)
+    def seeder_for(self, so: opt_mod.SearchOpts, scale: int = 1):
+        """Jitted seeder for a phase config; ``scale`` multiplies the
+        cursor/hit budgets (overflow retry doubles it)."""
+        key = (so.seed_length, so.seed_offset, so.max_seed_dist, scale)
         if key not in self._seeders:
             cfg = seeding.SeedConfig(
                 seed_length=so.seed_length,
@@ -289,17 +291,18 @@ class SearchContext:
                 cpw=self.idx.kmer.chars_per_word,
                 words=self.idx.kmer.words,
                 n_rows=self.idx.kmer.num_positions,
-                max_hits=self.opt.max_hits_per_query_frame * 8,
+                max_cursors=4096 * scale,
+                max_hits=self.opt.max_hits_per_query_frame * 8 * scale,
             )
             self._seeders[key] = (cfg, seeding.make_seeder(cfg))
         return self._seeders[key]
 
-    def sharded_step_for(self, so: opt_mod.SearchOpts):
+    def sharded_step_for(self, so: opt_mod.SearchOpts, scale: int = 1):
         from ..parallel import mesh as pmesh
 
-        key = (so.seed_length, so.seed_offset, so.max_seed_dist)
+        key = (so.seed_length, so.seed_offset, so.max_seed_dist, scale)
         if key not in self._sharded_steps:
-            _, (_, _, fused) = self.seeder_for(so)
+            _, (_, _, fused) = self.seeder_for(so, scale)
             self._sharded_steps[key] = pmesh.make_sharded_seeder(
                 self.mesh, fused)
         return self._sharded_steps[key]
@@ -314,7 +317,8 @@ class SearchContext:
         given phase options.  Returns dict: local query idx -> [BlastMatch]."""
         idx, opt = self.idx, self.opt
         F = self.qry_num_frames
-        cfg, (stage1, stage2, fused) = self.seeder_for(so)
+        # cfg for the seed schedule (budget-independent)
+        cfg, _ = self.seeder_for(so)
 
         # pad the query list to a bucketed count so jit shapes are reused
         n_real = len(qry_seqs)
@@ -356,23 +360,37 @@ class SearchContext:
         d_red_sbj = self.d_red_sbj if pigeon \
             else jnp.zeros(1, jnp.int8)
         # single fused dispatch: seed scan -> device cursor compaction ->
-        # locate/verify/prescore; only the hit arrays come back
-        if self.mesh is not None:
-            hits, st2 = self._sharded_hits(
-                so, d_red_q, d_trans_q, d_qlens, slot_frame, slot_begin,
-                slot_rem, Q, stats)
-        else:
-            with stats.timed("time_seed"):
-                res2 = fused(self.d_keys, d_red_q, d_qlens,
-                             jnp.asarray(slot_frame), jnp.asarray(slot_begin),
-                             jnp.asarray(slot_rem), jnp.zeros(Q, jnp.int32),
-                             self.d_pos, self.d_frame, self.d_sbj_offsets,
-                             self.d_sbj_lens, self.d_trans_sbj, d_trans_q,
-                             d_red_sbj, self.d_sub_fwd, self.d_sub_rev)
-            with stats.timed("time_locate"):
-                hits = {k: np.asarray(v)
-                        for k, v in res2.items() if k != "stats"}
-            st2 = {k: int(v) for k, v in res2["stats"].items()}
+        # locate/verify/prescore; only the hit arrays come back.  If the
+        # fixed cursor/hit budgets overflow (the reference has no budgets,
+        # it just allocates), retry with doubled budgets up to 8x before
+        # accepting truncation.
+        scale = 1
+        while True:
+            if self.mesh is not None:
+                hits, st2 = self._sharded_hits(
+                    so, d_red_q, d_trans_q, d_qlens, slot_frame, slot_begin,
+                    slot_rem, Q, stats, scale)
+            else:
+                cfg, (stage1, stage2, fused) = self.seeder_for(so, scale)
+                with stats.timed("time_seed"):
+                    res2 = fused(self.d_keys, d_red_q, d_qlens,
+                                 jnp.asarray(slot_frame),
+                                 jnp.asarray(slot_begin),
+                                 jnp.asarray(slot_rem),
+                                 jnp.zeros(Q, jnp.int32),
+                                 self.d_pos, self.d_frame,
+                                 self.d_sbj_offsets,
+                                 self.d_sbj_lens, self.d_trans_sbj, d_trans_q,
+                                 d_red_sbj, self.d_sub_fwd, self.d_sub_rev)
+                with stats.timed("time_locate"):
+                    hits = {k: np.asarray(v)
+                            for k, v in res2.items() if k != "stats"}
+                st2 = {k: int(v) for k, v in res2["stats"].items()}
+            if (st2["hits_overflow"] or st2["cursors_overflow"]) \
+                    and scale < 8:
+                scale *= 2
+                continue
+            break
         stats.hits_after_seeding += st2["hits_located"]
         stats.hits_failed_pre_extend += st2["failed_prescore"]
         stats.hits_overflow += st2["hits_overflow"]

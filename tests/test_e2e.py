@@ -350,3 +350,38 @@ def test_murphy10_reduction_index(tmp_path):
     rows = read_m8(out)
     assert rows and rows[0][1] == "GYRA_ECOLI"
     assert int(rows[0][8]) == 101 and int(rows[0][9]) == 180
+
+
+def test_overflow_retry_budget_doubling(tmp_path, monkeypatch):
+    """When the fixed hit budget overflows, the batch reruns with doubled
+    budgets instead of silently truncating (reference allocates freely)."""
+    import lambda_tpu.options as om
+    from lambda_tpu.search import pipeline
+    from lambda_tpu.stats import StatsHolder
+    from lambda_tpu import alphabets as ab
+    from lambda_tpu.index import artifact
+
+    rng = np.random.default_rng(2)
+    # highly repetitive database: every seed hits everywhere
+    unit = "".join(rng.choice(list("ARND"), 16))
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord(f"s{i}", (unit * 30).encode())
+                           for i in range(8)])
+    iopts = om.IndexerOptions(domain=om.Domain.PROTEIN, db_file=str(db),
+                              index_file=str(tmp_path / "db.lit"))
+    artifact.save_index(artifact.build_index(iopts),
+                        str(tmp_path / "db.lit"))
+    opt = om.make_search_options(
+        om.Domain.PROTEIN, query_file=str(db),
+        index_file=str(tmp_path / "db.lit"),
+        output=str(tmp_path / "o.m8"), verbosity=0)
+    opt.iterative_search = False
+    opt.adaptive_seeding = False
+    opt.max_hits_per_query_frame = 8   # tiny budget: must overflow
+    ctx = pipeline.SearchContext(opt)
+    qs = [ab.encode((unit * 10).encode(), ctx.qry_orig_alph)]
+    st = StatsHolder()
+    res = ctx.process_batch(qs, opt.search_opts, st)
+    assert res, "no hits found"
+    # the scaled seeder (scale>1) must have been created
+    assert any(k[3] > 1 for k in ctx._seeders), ctx._seeders.keys()
