@@ -54,12 +54,8 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 1 if argv else 0
     argv.remove(sub)
-    # --threads feeds the native library's OpenMP regions (index sort,
-    # host traceback/score passes); must be set before the lib loads
-    for i, a in enumerate(argv):
-        if a in ("-t", "--threads") and i + 1 < len(argv):
-            os.environ.setdefault("OMP_NUM_THREADS", argv[i + 1])
-    from .misc import IndexException, QueryException
+    from .misc import (IndexException, QueryException,
+                       strip_error_prefix as _strip_error_prefix)
     try:
         if sub.startswith("mkindex"):
             return mkindex_main(sub, argv)
@@ -83,14 +79,17 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
 
-def _strip_error_prefix(e: BaseException) -> str:
-    msg = str(e)
-    return msg[7:] if msg.startswith("ERROR: ") else msg
-
 
 def _myprint(verbosity: int, level: int, *msg) -> None:
     if verbosity >= level:
         print(*msg, sep="", flush=True)
+
+
+def _set_omp_threads(n: int) -> None:
+    """--threads feeds the native library's OpenMP regions (index sort,
+    host traceback/score passes); the library reads the env lazily on its
+    first parallel region, which is always after option parsing."""
+    os.environ.setdefault("OMP_NUM_THREADS", str(n))
 
 
 def mkindex_main(sub: str, argv: list[str]) -> int:
@@ -119,6 +118,7 @@ def mkindex_main(sub: str, argv: list[str]) -> int:
 
     from .index import artifact
 
+    _set_omp_threads(args.threads)
     opts = opt_mod.IndexerOptions(
         db_file=args.database,
         index_file=args.index or (args.database + ".lit"),
@@ -198,6 +198,7 @@ def search_main(sub: str, argv: list[str]) -> int:
                    help="device query batch size (TPU-specific)")
     args = p.parse_args(argv)
 
+    _set_omp_threads(args.threads)
     domain = _DOMAIN_OF[sub]
     opt = opt_mod.make_search_options(domain)
     opt.command_line = f"lambda-tpu {sub} " + " ".join(argv)

@@ -252,9 +252,8 @@ def load_index(path: str) -> IndexData:
         header = read_index_options(path)
     except RuntimeError as e:
         # generation mismatch raised inside read_index_options
-        msg = str(e)
-        raise IndexException(msg[7:] if msg.startswith("ERROR: ")
-                             else msg) from e
+        from ..misc import strip_error_prefix
+        raise IndexException(strip_error_prefix(e)) from e
     except (OSError, KeyError, ValueError) as e:
         raise IndexException(
             f"could not open or parse the index at '{path}': {e}\n"

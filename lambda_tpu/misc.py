@@ -130,3 +130,9 @@ class IndexException(RuntimeError):
 
 class QueryException(RuntimeError):
     """Problems with the query input (search_misc.hpp:38-40)."""
+
+
+def strip_error_prefix(e: BaseException | str) -> str:
+    """Drop a leading 'ERROR: ' so wrappers don't double the prefix."""
+    msg = str(e)
+    return msg[7:] if msg.startswith("ERROR: ") else msg

@@ -100,6 +100,29 @@ def _ptr(a: np.ndarray, typ):
     return a.ctypes.data_as(typ)
 
 
+def _marshal_sw_batch(q_list, s_list, subst, subst_rev, use_rev):
+    """Pack ragged rank sequences + matrices into the contiguous arrays
+    the batched SW entry points take."""
+    B = len(q_list)
+    qs = max((len(x) for x in q_list), default=1) or 1
+    ss = max((len(x) for x in s_list), default=1) or 1
+    q = np.zeros((B, qs), dtype=np.int32)
+    s = np.zeros((B, ss), dtype=np.int32)
+    qlen = np.zeros(B, dtype=np.int32)
+    slen = np.zeros(B, dtype=np.int32)
+    for i, (qq, sq) in enumerate(zip(q_list, s_list)):
+        q[i, :len(qq)] = qq
+        s[i, :len(sq)] = sq
+        qlen[i] = len(qq)
+        slen[i] = len(sq)
+    sub = np.ascontiguousarray(subst, dtype=np.int32)
+    sub_rev = (np.ascontiguousarray(subst_rev, dtype=np.int32)
+               if subst_rev is not None else None)
+    urev = (np.ascontiguousarray(use_rev, dtype=np.uint8)
+            if use_rev is not None else None)
+    return q, s, qlen, slen, sub, sub_rev, urev
+
+
 def sw_traceback_batch(q_list, s_list, subst: np.ndarray,
                        gap_first: int, gap_extend: int,
                        subst_rev: np.ndarray | None = None,
@@ -115,23 +138,11 @@ def sw_traceback_batch(q_list, s_list, subst: np.ndarray,
     B = len(q_list)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    qs = max((len(x) for x in q_list), default=1) or 1
-    ss = max((len(x) for x in s_list), default=1) or 1
-    q = np.zeros((B, qs), dtype=np.int32)
-    s = np.zeros((B, ss), dtype=np.int32)
-    qlen = np.zeros(B, dtype=np.int32)
-    slen = np.zeros(B, dtype=np.int32)
-    for i, (qq, sq) in enumerate(zip(q_list, s_list)):
-        q[i, :len(qq)] = qq
-        s[i, :len(sq)] = sq
-        qlen[i] = len(qq)
-        slen[i] = len(sq)
-    alph = subst.shape[0]
-    sub = np.ascontiguousarray(subst, dtype=np.int32)
-    sub_rev = (np.ascontiguousarray(subst_rev, dtype=np.int32)
-               if subst_rev is not None else None)
-    urev = (np.ascontiguousarray(use_rev, dtype=np.uint8)
-            if use_rev is not None else None)
+    q, s, qlen, slen, sub, sub_rev, urev = _marshal_sw_batch(
+        q_list, s_list, subst, subst_rev, use_rev)
+    qs = q.shape[1]
+    ss = s.shape[1]
+    alph = sub.shape[0]
 
     score = np.zeros(B, dtype=np.int32)
     q0 = np.zeros(B, dtype=np.int32)
@@ -245,26 +256,12 @@ def sw_score_batch(q_list, s_list, subst: np.ndarray,
     B = len(q_list)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    qs = max((len(x) for x in q_list), default=1) or 1
-    ss = max((len(x) for x in s_list), default=1) or 1
-    q = np.zeros((B, qs), dtype=np.int32)
-    s = np.zeros((B, ss), dtype=np.int32)
-    qlen = np.zeros(B, dtype=np.int32)
-    slen = np.zeros(B, dtype=np.int32)
-    for i, (qq, sq) in enumerate(zip(q_list, s_list)):
-        q[i, :len(qq)] = qq
-        s[i, :len(sq)] = sq
-        qlen[i] = len(qq)
-        slen[i] = len(sq)
-    sub = np.ascontiguousarray(subst, dtype=np.int32)
-    sub_rev = (np.ascontiguousarray(subst_rev, dtype=np.int32)
-               if subst_rev is not None else None)
-    urev = (np.ascontiguousarray(use_rev, dtype=np.uint8)
-            if use_rev is not None else None)
+    q, s, qlen, slen, sub, sub_rev, urev = _marshal_sw_batch(
+        q_list, s_list, subst, subst_rev, use_rev)
     score = np.zeros(B, dtype=np.int32)
     lib.sw_score_batch_host(
-        _ptr(q, i32p), qs, _ptr(qlen, i32p),
-        _ptr(s, i32p), ss, _ptr(slen, i32p),
+        _ptr(q, i32p), q.shape[1], _ptr(qlen, i32p),
+        _ptr(s, i32p), s.shape[1], _ptr(slen, i32p),
         B, _ptr(sub, i32p), sub.shape[0],
         _ptr(sub_rev, i32p) if sub_rev is not None else None,
         _ptr(urev, u8p) if urev is not None else None,
