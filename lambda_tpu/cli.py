@@ -169,6 +169,9 @@ def search_main(sub: str, argv: list[str]) -> int:
                    help="shard the database index over this many devices "
                         "of the mesh (data-parallel queries, all_gather "
                         "hit merge)")
+    p.add_argument("--q-shards", type=int, default=1,
+                   help="data-parallel query batches over this many "
+                        "devices (mesh is q-shards x db-shards)")
     p.add_argument("-v", "--verbosity", type=int, default=1, choices=(0, 1, 2))
     p.add_argument("--adaptive-seeding", default="1", choices=("0", "1"))
     p.add_argument("--seed-half-exact", default="1", choices=("0", "1"))
@@ -244,6 +247,7 @@ def search_main(sub: str, argv: list[str]) -> int:
     opt.version_to_output_file = args.version_to_outputfile == "1"
     opt.lazy_qry_file = args.lazy_query
     opt.db_shards = args.db_shards
+    opt.q_shards = args.q_shards
     opt.qry_orig_alphabet = args.input_alphabet
     opt.query_batch_size = args.query_batch
 

@@ -140,6 +140,7 @@ class LambdaOptions:
 
     threads: int = 1
     db_shards: int = 1          # database shards over the device mesh
+    q_shards: int = 1           # query data-parallel mesh axis
     verbosity: int = 1
     command_line: str = ""
 

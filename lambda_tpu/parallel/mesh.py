@@ -311,19 +311,21 @@ def make_sharded_seeder(mesh: Mesh, fused):
                 res["s_frame"], res["s_off"], res["valid"], res["passed"],
                 st["hits_located"], st["hits_overflow"],
                 st["failed_prescore"], st["cursors_overflow"])
-        return tuple(x[None] for x in outs)
+        return tuple(x[None, None] for x in outs)
 
     P_ = P
-    arr2 = P_("db", None)
-    scal = P_("db")
+    # queries data-parallel over 'q' (frames/slots sharded in whole-query
+    # groups), index over 'db'; outputs carry (q, db) leading axes
+    arr2 = P_("q", "db", None)
+    scal = P_("q", "db")
     step = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P_("db", None, None), P_("db", None), P_("db", None),
                   P_("db", None), P_("db", None),
                   P_("db", None), P_("db", None),
-                  P_(None, None), P_(None),
-                  P_(None, None), P_(None, None), P_(None, None), P_(None),
-                  P_(None, None), P_(None, None), P_(None, None)),
+                  P_("q", None), P_("q"),
+                  P_("q", None), P_("q", None), P_("q", None), P_("q"),
+                  P_("q", None), P_(None, None), P_(None, None)),
         out_specs=(arr2,) * 7 + (scal,) * 4,
         # the seeder's internal scan/fori carries start from replicated
         # constants and become shard-varying; skip the VMA consistency

@@ -110,7 +110,8 @@ class SearchContext:
         # --- device-resident index (the seeding tensors are skipped when
         # the index is sharded over a mesh; see below)
         self.db_shards = max(1, int(getattr(opt, "db_shards", 1)))
-        if self.db_shards == 1:
+        self.q_shards = max(1, int(getattr(opt, "q_shards", 1)))
+        if self.db_shards * self.q_shards == 1:
             self.d_keys = jnp.asarray(idx.kmer.keys)
             self.d_pos = jnp.asarray(idx.kmer.pos.astype(np.int32))
             self.d_frame = jnp.asarray(idx.kmer.frame.astype(np.int32))
@@ -158,17 +159,22 @@ class SearchContext:
         # frames of a subject share a shard and frame-id parity (the
         # bisulfite fwd/rev matrix selector) is preserved
         self.mesh = None
-        if self.db_shards > 1:
+        if self.db_shards * self.q_shards > 1:
             import jax
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
             from ..parallel import mesh as pmesh
 
             devs = jax.devices()
-            if len(devs) < self.db_shards:
+            n_dev = self.q_shards * self.db_shards
+            if len(devs) < n_dev:
                 raise RuntimeError(
-                    f"--db-shards {self.db_shards} needs that many devices; "
-                    f"only {len(devs)} available.")
-            self.mesh = Mesh(np.array(devs[: self.db_shards]), ("db",))
+                    f"--q-shards {self.q_shards} x --db-shards "
+                    f"{self.db_shards} needs {n_dev} devices; only "
+                    f"{len(devs)} available.")
+            self.mesh = Mesh(
+                np.array(devs[:n_dev]).reshape(self.q_shards,
+                                               self.db_shards),
+                ("q", "db"))
             o = idx.trans_offsets
             tf = [idx.trans_concat[o[i]:o[i + 1]] for i in range(len(o) - 1)]
             rf = fr.reduce_frames(tf, idx.trans_alph, idx.red_alph)
@@ -227,8 +233,12 @@ class SearchContext:
             (q_frame, q_begin, seed_len, s_frame, s_off, valid, passed,
              located, overflow, failed_pre, cur_over) = \
                 [np.asarray(o) for o in outs]
-        D = q_frame.shape[0]
-        s_frame = s_frame + self.shard_base[:, None]
+        # outputs carry (q, db) leading axes; translate local ids to global
+        Dq = q_frame.shape[0]
+        G = int(d_red_q.shape[0])
+        q_base = (np.arange(Dq, dtype=np.int64) * (G // Dq))[:, None, None]
+        q_frame = q_frame + q_base
+        s_frame = s_frame + self.shard_base[None, :, None]
         hits = dict(
             q_frame=q_frame.reshape(-1), q_begin=q_begin.reshape(-1),
             seed_len=seed_len.reshape(-1), s_frame=s_frame.reshape(-1),

@@ -138,8 +138,8 @@ def test_sharded_seeder_matches_single_device(n_db):
     def run_sharded(n_db):
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         from lambda_tpu.index.build import build_kmer_index as bki
-        devices = np.array(jax.devices("cpu")[:n_db])
-        mesh = Mesh(devices, ("db",))
+        devices = np.array(jax.devices("cpu")[:n_db]).reshape(1, n_db)
+        mesh = Mesh(devices, ("q", "db"))
         tf = [f.astype(np.uint8) for f in trans_frames]
         concat, offsets, lengths = fr.concat_frames(tf)
         kidx = bki(concat, offsets, A)
@@ -164,7 +164,7 @@ def test_sharded_seeder_matches_single_device(n_db):
             put(red_q, P_(None, None)),
             put(subst, P_(None, None)), put(subst, P_(None, None)))
         (q_frame, q_begin, seed_len, s_frame, s_off,
-         valid, passed, *_) = [np.asarray(o) for o in outs]
+         valid, passed, *_) = [np.asarray(o)[0] for o in outs]
         got = set()
         for d in range(n_db):
             sel = valid[d] & passed[d]
@@ -270,3 +270,37 @@ def test_cli_db_shards_kmer_words2(tmp_path):
         assert r.returncode == 0, r.stderr
         outs[shards] = out.read_text()
     assert outs[1] == outs[2] and "GYRA_ECOLI" in outs[1]
+
+
+@pytest.mark.parametrize("qs,dbs", [(2, 1), (4, 2), (2, 4)])
+def test_cli_q_and_db_shards_matches_unsharded(tmp_path, qs, dbs):
+    """Full q x db mesh: output byte-identical to the single-device run."""
+    from tests.test_e2e import GYRA, run_cli
+
+    from lambda_tpu.io import fasta
+
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [
+        fasta.SeqRecord("GYRA_ECOLI", GYRA.encode()),
+        fasta.SeqRecord("OTHER1", GYRA[::-1].encode()),
+        fasta.SeqRecord("OTHER2",
+                        b"MNKQRSTVWYACDEFGHILMNPQRSTVWYACDEFGHIKLM" * 4),
+    ])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [
+        fasta.SeqRecord(f"q{i}", GYRA[i * 40:i * 40 + 80].encode())
+        for i in range(6)])
+    ref = tmp_path / "ref.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(ref),
+                "--adaptive-seeding", "0", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    out = tmp_path / f"out_{qs}x{dbs}.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "--q-shards", str(qs), "--db-shards", str(dbs),
+                "--adaptive-seeding", "0", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == ref.read_text()
+    assert "GYRA_ECOLI" in ref.read_text()
