@@ -98,4 +98,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # remote-attached workers occasionally crash/restart; one retry
+        import traceback
+        traceback.print_exc()
+        time.sleep(20)
+        main()

@@ -111,6 +111,7 @@ class SearchContext:
         # the index is sharded over a mesh; see below)
         self.db_shards = max(1, int(getattr(opt, "db_shards", 1)))
         self.q_shards = max(1, int(getattr(opt, "q_shards", 1)))
+        self._check_device_memory(opt)
         if self.db_shards * self.q_shards == 1:
             self.d_keys = jnp.asarray(idx.kmer.keys)
             self.d_pos = jnp.asarray(idx.kmer.pos.astype(np.int32))
@@ -200,6 +201,25 @@ class SearchContext:
                 red=put(sh["red"], "db", None),
             )
             self._sharded_steps: dict = {}
+
+    def _check_device_memory(self, opt):
+        """Pre-flight HBM estimate (device-side analogue of checkRAM,
+        search_algo.hpp:126-155): warn when the resident index likely
+        exceeds device memory and suggest sharding/smaller keys."""
+        import jax
+
+        idx = self.idx
+        need = (idx.kmer.keys.nbytes + idx.kmer.pos.nbytes * 2
+                + len(idx.trans_concat)) // max(self.db_shards, 1)
+        try:
+            limit = jax.devices()[0].memory_stats().get("bytes_limit", 0)
+        except Exception:
+            limit = 0
+        if limit and need > 0.9 * limit and opt.verbosity >= 1:
+            print(f"WARNING: the device-resident index needs ~{need >> 20} "
+                  f"MiB of ~{limit >> 20} MiB device memory; consider "
+                  "--db-shards over more devices or rebuilding with "
+                  "--kmer-words 2.")
 
     @property
     def d_red_sbj(self):
