@@ -28,6 +28,7 @@ class BlastReportWriter:
                  matrix_name: str, gap_open: int, gap_extend: int):
         opener = gzip.open if str(path).endswith(".gz") else open
         self.fh = opener(path, "wt")
+        self.program_name = program_name.upper()
         self.version_string = version_string
         self.db_name = db_name
         self.db_num_seqs = db_num_seqs
@@ -85,12 +86,19 @@ class BlastReportWriter:
               f"Positives = {m.num_positives}/{al} "
               f"({round(100.0 * m.num_positives / al)}%), "
               f"Gaps = {gaps}/{al} ({round(100.0 * gaps / al)}%)\n")
-            if m.q_frame_shift and m.s_frame_shift:
+            # Frame/Strand line keyed on the PROGRAM (classic BLAST):
+            # blastx prints the query frame, tblastn the subject frame,
+            # tblastx both, blastn (incl. bisulfite) the strands
+            prog = self.program_name
+            if prog == "TBLASTX":
                 w(f" Frame = {m.q_frame_shift:+d}/{m.s_frame_shift:+d}\n")
-            elif m.q_frame_shift and abs(m.q_frame_shift) > 1:
+            elif prog == "BLASTX":
                 w(f" Frame = {m.q_frame_shift:+d}\n")
-            elif m.q_frame_shift < 0:
-                w(" Strand=Plus/Minus\n")
+            elif prog == "TBLASTN":
+                w(f" Frame = {m.s_frame_shift:+d}\n")
+            elif prog == "BLASTN":
+                strand = "Minus" if m.q_frame_shift < 0 else "Plus"
+                w(f" Strand=Plus/{strand}\n")
             w("\n")
 
             q_row, m_row, s_row, (q_start_col, q_end_col), (s_start_col, s_end_col) = rows

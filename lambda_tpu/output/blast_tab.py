@@ -68,7 +68,7 @@ def format_evalue(ev: float) -> str:
     if ev <= 1.0e-180:
         return "0.0"
     if ev < 1.0e-99:
-        return f"{ev:.0e}".replace("e-0", "e-")  # 2e-100 style
+        return f"{ev:.0e}"  # 2e-100 style (exponent >= 100, never 0-padded)
     if ev < 0.0009:
         s = f"{ev:.0e}"
         return s
@@ -118,7 +118,7 @@ class BlastTabWriter:
     """m8 (no comments) / m9 (with comments) writer."""
 
     def __init__(self, path: str, columns: list[str], with_comments: bool,
-                 program_name: str, version_string: str, db_name: str):
+                 version_string: str, db_name: str):
         self.columns = expand_columns(columns)
         self.with_comments = with_comments
         self.program_line = version_string

@@ -11,8 +11,8 @@ Port of ``/root/reference/src/search_output.hpp``:
 * BAM is written through an own bgzf encoder (the reference uses SeqAn2's).
 
 Note: for negative *subject* frames the reference mirrors the position
-with ``record.qLength`` (search_output.hpp:498) which looks like a bug; we
-mirror with the subject's DNA length instead.
+with ``record.qLength`` (search_output.hpp:498), which is a bug; we emit
+the leftmost plus-strand coordinate of the aligned region instead.
 """
 
 from __future__ import annotations
@@ -212,13 +212,19 @@ class SamBamWriter:
             if bm.q_frame_shift < 0:
                 flag |= 0x10
 
-            # position on reference (search_output.hpp:493-503)
+            # position on reference (search_output.hpp:493-503); for
+            # negative subject frames POS must be the LEFTMOST plus-strand
+            # base: the rc-frame protein interval [s_start, s_end) covers
+            # rc-DNA [3*s_start+|f|-1, 3*s_end+|f|-1), whose plus-strand
+            # leftmost coordinate is L - 3*s_end - |f| + 1.  (The reference
+            # subtracts from qLength — search_output.hpp:498 — which is a
+            # bug producing out-of-range POS.)
             if program.s_translated:
-                pos0 = bm.s_start * 3 + abs(bm.s_frame_shift) - 1
+                fmag = abs(bm.s_frame_shift)
                 if bm.s_frame_shift < 0:
-                    # reference uses qLength here (apparent bug); we mirror
-                    # with the subject length
-                    pos0 = bm.s_length - pos0
+                    pos0 = bm.s_length - (bm.s_end * 3 + fmag - 1)
+                else:
+                    pos0 = bm.s_start * 3 + fmag - 1
             else:
                 pos0 = bm.s_start
 
@@ -258,8 +264,9 @@ class SamBamWriter:
                 prev = key
             seq = "*"
             if program.value == "blastn":
-                frame = ctx.query_frame(q_seq, bm.qry_frame_id % ctx.qry_num_frames)
                 if write_seq:
+                    frame = ctx.query_frame(
+                        q_seq, bm.qry_frame_id % ctx.qry_num_frames)
                     if opt.sam_bam_hard_clip:
                         seq = ab.decode(frame[bm.q_start : bm.q_end], ab.DNA5)
                     else:

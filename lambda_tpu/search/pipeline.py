@@ -497,7 +497,7 @@ class SearchContext:
             n_q = qry_id // F
             n_s = subj_id // self.sbj_num_frames
             qfs, sfs = records.set_frames(qry_id, subj_id, self.program,
-                                          idx.red_alph, F, self.sbj_num_frames)
+                                          idx.red_alph)
             consumed_q = sum(r for op, r in ops if op in ("M", "I"))
             consumed_s = sum(r for op, r in ops if op in ("M", "D"))
             bm = records.BlastMatch(
@@ -604,7 +604,7 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
     if opt.out_file_format == 0:
         writer = blast_tab.BlastTabWriter(
             opt.output, opt.columns, opt.blast_tabular_with_comments,
-            program_upper, version_string, opt.index_file)
+            version_string, opt.index_file)
     elif opt.out_file_format == -1:
         from ..output import blast_report
 

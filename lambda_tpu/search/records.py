@@ -53,8 +53,7 @@ class BlastMatch:
     subj_frame_id: int = 0
 
 
-def set_frames(qry_id: int, subj_id: int, program, red_alph: str,
-               qry_num_frames: int, sbj_num_frames: int):
+def set_frames(qry_id: int, subj_id: int, program, red_alph: str):
     """_setFrames (search_algo.hpp:768-814): frame shifts from frame ids."""
     from .. import alphabets as ab
 

@@ -244,13 +244,10 @@ def karlin_lh_to_k(matrix: np.ndarray, freqs: np.ndarray,
     d = max(d, 1)
     if d > 1:
         low //= d
-        probs = probs[::d].copy() if False else _regcd(probs, d)
+        probs = _regcd(probs, d)
         high = low + len(probs) - 1
         lam = lam * d
 
-    avg = float(sum(pr * s for s, pr in zip(range(low, high + 1), probs)))
-
-    del avg
     if low == -1 and high == 1:
         return float((probs[0] - probs[-1]) ** 2 / probs[0])
     if high == 1:

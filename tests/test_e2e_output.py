@@ -138,3 +138,40 @@ def test_bam_output_parses(searched):
     assert ref_id == 0 and pos == 50 and flag == 0
     rn = body[32 : 32 + l_rn - 1].decode()
     assert rn == "q1"
+
+
+def test_sam_pos_negative_subject_frame(tmp_path):
+    """tblastn hit on a minus subject frame: POS must be the leftmost
+    plus-strand base and POS-1 + reference span must stay within LN
+    (the reference's qLength mirroring — search_output.hpp:498 — breaks
+    both; see sam_bam.py docstring)."""
+    from tests.test_e2e import GYRA, rev_translate, revcomp, run_cli
+
+    prot = GYRA[20:100]
+    dna = revcomp(rev_translate(GYRA[:160]))   # protein is on frame -1
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("MINUS_DNA", dna.encode())])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("tq", prot.encode())])
+    out = tmp_path / "out.sam"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "--sam-bam-tags", "AS NM sf", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    recs = [l.split("\t") for l in Path(out).read_text().splitlines()
+            if l and not l.startswith("@")]
+    assert recs, "no SAM records"
+    rec = recs[0]
+    assert rec[2] == "MINUS_DNAxxx".replace("xxx", "")
+    assert "sf:i:-" in "\t".join(rec), "expected a minus subject frame"
+    pos = int(rec[3])
+    ln = len(dna)
+    # protein hit covers GYRA[20:100) -> minus-strand DNA; the plus-strand
+    # leftmost base of the aligned region:
+    prot_span = 80
+    assert 1 <= pos and pos - 1 + 3 * prot_span <= ln
+    # exact coordinate: rc-frame -1, protein offset 20 ->
+    # pos0 = L - (3*100 + 1 - 1) = 480 - 300 = 180 -> 1-based 181
+    assert pos == ln - 3 * 100 + 1
