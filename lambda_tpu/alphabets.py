@@ -99,7 +99,7 @@ DNA5_TO_DNA4 = np.array([0, 1, 2, 3, 0], dtype=np.uint8)
 # ---------------------------------------------------------------------------
 # Murphy et al. (2000) 10-letter groups as implemented by biocpp aa10murphy:
 #   A<-{A}, B<-{B,D,E,N,Q,Z}, C<-{C,U}, F<-{F,W,Y}, G<-{G}, H<-{H},
-#   I<-{I,J,L,M,V}, K<-{K,O,R}, P<-{P}, S<-{S,T,X,*}
+#   I<-{I,J,L,M,V}, K<-{K,O,R}, P<-{P}, S<-{S,T,X}; F-group also takes '*'
 _MURPHY10_FROM_AA = {
     "A": "A", "B": "B", "C": "C", "D": "B", "E": "B", "F": "F", "G": "G",
     "H": "H", "I": "I", "J": "I", "K": "K", "L": "I", "M": "I", "N": "B",
@@ -193,26 +193,46 @@ GENETIC_CODES = {1: CODON_TABLE_STD}
 _AA_X = int(AA27_CHAR_TO_RANK[ord("X")])
 
 
+def _build_codon_table_dna5(tab64: np.ndarray) -> np.ndarray:
+    """125-entry dna5 codon table (idx = c0*25 + c1*5 + c2): degenerate
+    codons containing 'N' resolve to the amino acid when every expansion
+    agrees (biocpp/seqan3 translate semantics, e.g. GCN -> A), else X."""
+    tab = np.zeros(125, dtype=np.uint8)
+    for c0 in range(5):
+        for c1 in range(5):
+            for c2 in range(5):
+                e0 = range(4) if c0 == 4 else (c0,)
+                e1 = range(4) if c1 == 4 else (c1,)
+                e2 = range(4) if c2 == 4 else (c2,)
+                aas = {int(tab64[a * 16 + b * 4 + c])
+                       for a in e0 for b in e1 for c in e2}
+                tab[c0 * 25 + c1 * 5 + c2] = (aas.pop() if len(aas) == 1
+                                              else _AA_X)
+    return tab
+
+
+GENETIC_CODES_DNA5 = {k: _build_codon_table_dna5(v)
+                      for k, v in GENETIC_CODES.items()}
+
+
 def translate(dna5_ranks: np.ndarray, frame: int, code: int = 1) -> np.ndarray:
     """Translate one frame of a dna5-rank sequence into aa27 ranks.
 
     ``frame`` in {1,2,3,-1,-2,-3} following the reference convention
     (search_algo.hpp:771-781): positive = plus strand offset |frame|-1,
-    negative = reverse complement offset |frame|-1.  Codons containing 'N'
-    translate to 'X' (biocpp translate semantics).
+    negative = reverse complement offset |frame|-1.  Degenerate codons
+    containing 'N' resolve to the amino acid when every expansion agrees
+    (biocpp translate semantics, e.g. GCN -> A), else to 'X'.
     """
-    tab = GENETIC_CODES[code]
+    tab = GENETIC_CODES_DNA5[code]
     seq = dna5_ranks if frame > 0 else DNA5_COMPLEMENT[dna5_ranks[::-1]]
     off = abs(frame) - 1
     usable = (len(seq) - off) // 3
     if usable <= 0:
         return np.zeros(0, dtype=np.uint8)
     codons = seq[off : off + usable * 3].reshape(usable, 3).astype(np.int32)
-    has_n = (codons >= 4).any(axis=1)
-    idx = codons[:, 0] * 16 + codons[:, 1] * 4 + codons[:, 2]
-    aa = tab[np.clip(idx, 0, 63)]
-    aa = np.where(has_n, np.uint8(_AA_X), aa)
-    return aa.astype(np.uint8)
+    idx = codons[:, 0] * 25 + codons[:, 1] * 5 + codons[:, 2]
+    return tab[idx].astype(np.uint8)
 
 
 def six_frames(dna5_ranks: np.ndarray, code: int = 1) -> list[np.ndarray]:

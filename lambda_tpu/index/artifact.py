@@ -246,6 +246,8 @@ def read_index_options(path: str) -> dict:
 
 
 def load_index(path: str) -> IndexData:
+    import zipfile
+
     from ..misc import IndexException
 
     try:
@@ -254,11 +256,19 @@ def load_index(path: str) -> IndexData:
         # generation mismatch raised inside read_index_options
         from ..misc import strip_error_prefix
         raise IndexException(strip_error_prefix(e)) from e
-    except (OSError, KeyError, ValueError) as e:
+    except (OSError, KeyError, ValueError, zipfile.BadZipFile) as e:
         raise IndexException(
             f"could not open or parse the index at '{path}': {e}\n"
             "       Did you create it with the same version's mkindex*?") \
             from e
+    try:
+        return _load_payload(path, header)
+    except (OSError, KeyError, ValueError, zipfile.BadZipFile) as e:
+        raise IndexException(
+            f"the index at '{path}' is corrupt or truncated: {e}") from e
+
+
+def _load_payload(path: str, header: dict) -> IndexData:
     with np.load(path, allow_pickle=False) as z:
         ids = _unpack_strings(z["ids"])
         seq_concat = z["seq_concat"]

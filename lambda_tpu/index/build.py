@@ -100,7 +100,6 @@ def build_kmer_index(red_concat: np.ndarray, offsets: np.ndarray,
     # lexicographic sort; parallel native sort when available (np.lexsort
     # scales poorly past ~10M positions), np.lexsort fallback otherwise --
     # both stable, so the resulting index is identical
-    from .. import native
     order = native.sort_rows_u32(keys) if words <= 4 else None
     if order is None:
         # np.lexsort uses the LAST key as primary

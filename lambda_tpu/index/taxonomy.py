@@ -128,23 +128,27 @@ def build_tax_tree(tax_dump_dir: str, present: set[int]):
     # indegrees
     indeg = np.bincount(parents, minlength=max_id + 1)
 
+    # only kept nodes need walking: restrict the Python loops to the
+    # present-or-ancestor subset (~hundreds) instead of all ~2.6M ids
+    kept = np.nonzero(present_or_parent)[0]
+
     # flatten: skip chains of indegree-1 internal nodes that do not
     # themselves carry sequences
-    for i in range(max_id + 1):
+    for i in kept:
         cur = int(parents[i])
         while cur > 1 and indeg[cur] == 1 and not present_arr[cur]:
             cur = int(parents[cur])
         parents[i] = cur
 
     # disconnect now-unused intermediates
-    for i in range(max_id + 1):
+    for i in kept:
         if indeg[i] == 1 and not present_arr[i]:
             parents[i] = 0
             present_or_parent[i] = False
 
     # heights
     heights = np.zeros(max_id + 1, dtype=np.uint8)
-    for i in range(max_id + 1):
+    for i in np.nonzero(present_or_parent)[0]:
         h = 0
         cur = int(parents[i])
         while cur > 1:

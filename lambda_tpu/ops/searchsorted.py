@@ -89,7 +89,7 @@ def search_range(keys: jnp.ndarray, targets: jnp.ndarray, masks: jnp.ndarray,
 
     def lb_body(_, state):
         lo, hi = state
-        mid = (lo + hi) >> 1
+        mid = lo + ((hi - lo) >> 1)
         kw = _gather_keys(keys, mid)
         lt, _ = _masked_cmp(kw, targets, masks)
         go_right = (lo < hi) & lt
@@ -97,7 +97,7 @@ def search_range(keys: jnp.ndarray, targets: jnp.ndarray, masks: jnp.ndarray,
 
     def ub_body(_, state):
         lo, hi = state
-        mid = (lo + hi) >> 1
+        mid = lo + ((hi - lo) >> 1)
         kw = _gather_keys(keys, mid)
         lt, eq = _masked_cmp(kw, targets, masks)
         leq = lt | eq

@@ -28,7 +28,6 @@ Both stages are single jitted programs with static shapes.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import numpy as np
 import jax
@@ -100,7 +99,10 @@ def compute_seed_slots(trans_frames: list[np.ndarray], qry_num_frames: int,
             t = trans_frames[g]
             size = len(t)
             if size < k:
-                needles_pos += size
+                # the reference's `continue` (search_algo.hpp:638) skips the
+                # needlesPos update too; when the FIRST frame is short it
+                # even skips the per-query reset (a reference bug we do NOT
+                # replicate — it only perturbs the desiredOccs heuristic)
                 continue
             # bad position: UNKNOWN or equal to the next char
             bad = np.zeros(size, dtype=bool)
@@ -139,16 +141,28 @@ def make_seeder(cfg: SeedConfig):
     (search_pseudo with pigeon_opt schemes,
     search_datastructures.hpp:506-510): the seed is split into delta+1
     chunks, each chunk is searched exactly as an anchor, and stage 2
-    verifies <= delta mismatches over the whole seed in reduced space
-    (with chunk-provenance dedup so each occurrence is reported once).
-    Adaptive elongation is disabled in pigeonhole mode (the reference
-    extends the full approximate seed via its FM cursor; chunk anchors
-    have no equivalent cursor)."""
+    verifies <= delta mismatches in reduced space (with
+    first-exact-chunk provenance dedup so each occurrence is reported
+    once).  With half_exact the anchor is the exact FIRST HALF and
+    verification covers the second half only (searchHalfExactImpl
+    semantics).  Deviations in this mode: adaptive elongation is
+    disabled (chunk anchors have no FM-cursor equivalent) and the
+    whole-seed abundance cutoff is not applied (chunk counts are not
+    comparable; the hit budget + overflow retry bound the work)."""
 
     k = cfg.seed_length
     pigeon = cfg.max_seed_dist >= 2
     if pigeon:
-        chunk_off, chunk_len = kmer.pigeon_chunks(k, cfg.max_seed_dist)
+        if cfg.half_exact:
+            # searchHalfExactImpl semantics (search_algo.hpp:537-604):
+            # errors confined to the second half -> the exact first half
+            # is the one anchor, verification covers [k//2, k) only
+            chunk_off = np.array([0], dtype=np.int32)
+            chunk_len = np.array([k // 2], dtype=np.int32)
+            verify_from = k // 2
+        else:
+            chunk_off, chunk_len = kmer.pigeon_chunks(k, cfg.max_seed_dist)
+            verify_from = 0
         V = len(chunk_off)
         positions = replacements = None
     else:
@@ -261,8 +275,12 @@ def make_seeder(cfg: SeedConfig):
                 targets, masks, lo, hi, count, seed_len, _ = jax.lax.fori_loop(
                     0, cfg.ext_max, ext_body, st0)
 
-            # abundance cutoff (search_algo.hpp:729)
-            keep = (count > 0) & (count <= cfg.occ_cap)
+            # abundance cutoff (search_algo.hpp:729).  Not applied in
+            # pigeonhole mode: chunk-anchor counts are counts of a much
+            # shorter string than the reference's whole-seed cursor counts;
+            # the hit budget (+ overflow retry) bounds pathological cases.
+            keep = (count > 0) if pigeon \
+                else (count > 0) & (count <= cfg.occ_cap)
             kept_count = jnp.where(keep, count, 0)
 
             # deviation (documented above): located hits, not prescore-passing
@@ -316,8 +334,9 @@ def make_seeder(cfg: SeedConfig):
         slen_seed = cur_seedlen[cursor_of]
 
         if pigeon:
-            # verify <= delta mismatches over the full seed in reduced
-            # space; accept only from the FIRST exactly-matching chunk
+            # verify <= delta mismatches over the seed's verification
+            # region in reduced space; accept only from the FIRST
+            # exactly-matching chunk
             rk = jnp.arange(k, dtype=jnp.int32)
             q_r = red_q[jnp.clip(qframe, 0, red_q.shape[0] - 1)[:, None],
                         jnp.clip(qbegin[:, None] + rk[None, :], 0,
@@ -327,7 +346,9 @@ def make_seeder(cfg: SeedConfig):
                 .astype(jnp.int32)
             mism = (q_r != s_r)                           # (Hn, k) bool
             in_bounds = (s_off >= 0) & (s_off + k <= sbj_lens[sframe])
-            n_mism = jnp.sum(mism.astype(jnp.int32), axis=1)
+            in_region = rk >= verify_from                 # (k,)
+            n_mism = jnp.sum((mism & in_region[None, :]).astype(jnp.int32),
+                             axis=1)
             ok = in_bounds & (n_mism <= cfg.max_seed_dist)
             # provenance: chunk id of this cursor, and exactness per chunk
             cidx = jnp.searchsorted(jnp.asarray(chunk_off),

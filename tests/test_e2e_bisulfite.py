@@ -77,6 +77,7 @@ def test_bisulfite_seed_delta2_pigeonhole(bs_db, tmp_path):
     r = run_cli("searchbs", "-q", str(q), "-i", str(lit), "-o", str(out),
                 "--seed-delta", "2", "--search0", "OFF",
                 "--adaptive-seeding", "0", "--pre-scoring", "0",
+                "--seed-half-exact", "0",
                 "-e", "1e-2", "-v", "0")
     assert r.returncode == 0, r.stderr
     rows = read_m8(out)

@@ -50,6 +50,9 @@ def _search(d, delta: int):
     opt.search_opts.max_seed_dist = delta
     opt.iterative_search = False
     opt.adaptive_seeding = False
+    # the fixture mutates every 6 positions, so no seed has an exact
+    # first half: full pigeonhole (errors anywhere) is what's under test
+    opt.seed_half_exact = False
     # the fixture is ~17% divergent by construction; the region prescore
     # (reference default) would reject it regardless of seeding mode
     opt.pre_scoring = 0
@@ -89,3 +92,24 @@ def test_pigeon_chunks_partition():
             assert off[0] == 0
             assert (np.diff(off) == ln[:-1]).all()
             assert ln.min() >= 1
+
+
+def test_delta2_half_exact_requires_exact_first_half(db_and_queries):
+    """With --seed-half-exact (default), delta>=2 confines errors to the
+    second seed half (searchHalfExactImpl); the dense-mutation fixture has
+    no exact first half anywhere, so nothing may be found."""
+    d = db_and_queries
+    out = str(d / "out_hx.m8")
+    opt = opt_mod.make_search_options(
+        opt_mod.Domain.NUCLEOTIDE,
+        query_file=str(d / "q.fasta"), index_file=str(d / "db.lit"),
+        output=out, verbosity=0)
+    opt.search_opts.max_seed_dist = 2
+    opt.iterative_search = False
+    opt.adaptive_seeding = False
+    opt.seed_half_exact = True
+    opt.pre_scoring = 0
+    pipeline.run_search(opt)
+    rows = [l for l in open(out).read().splitlines()
+            if l and not l.startswith("#")]
+    assert rows == []
