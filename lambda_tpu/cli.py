@@ -21,6 +21,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 from . import __version__, options as opt_mod
+from .misc import my_print as _my_print
 from .options import Domain
 
 SUBCOMMANDS = ("searchp", "searchn", "searchbs", "mkindexp", "mkindexn", "mkindexbs")
@@ -80,16 +81,14 @@ def main(argv: list[str] | None = None) -> int:
 
 
 
-def _myprint(verbosity: int, level: int, *msg) -> None:
-    if verbosity >= level:
-        print(*msg, sep="", flush=True)
-
-
-def _set_omp_threads(n: int) -> None:
+def _set_omp_threads(n: int | None) -> None:
     """--threads feeds the native library's OpenMP regions (index sort,
     host traceback/score passes); the library reads the env lazily on its
-    first parallel region, which is always after option parsing."""
-    os.environ.setdefault("OMP_NUM_THREADS", str(n))
+    first parallel region, which is always after option parsing.  An
+    explicit flag overrides ambient OMP_NUM_THREADS; without the flag the
+    ambient value (or OpenMP's default) stands."""
+    if n is not None:
+        os.environ["OMP_NUM_THREADS"] = str(n)
 
 
 def mkindex_main(sub: str, argv: list[str]) -> int:
@@ -98,7 +97,7 @@ def mkindex_main(sub: str, argv: list[str]) -> int:
     p.add_argument("-i", "--index", default="")
     p.add_argument("-m", "--acc-tax-map", default="")
     p.add_argument("-x", "--tax-dump-dir", default="")
-    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-t", "--threads", type=int, default=None)
     p.add_argument("-v", "--verbosity", type=int, default=1, choices=(0, 1, 2))
     p.add_argument("--truncate-ids", default="1", choices=("0", "1"))
     p.add_argument("--db-index-type", default="kmer", choices=("kmer", "fm", "bifm"),
@@ -128,12 +127,10 @@ def mkindex_main(sub: str, argv: list[str]) -> int:
         truncate_ids=args.truncate_ids == "1",
         input_alphabet=getattr(args, "input_alphabet", "auto"),
         alphabet_reduction=getattr(args, "alphabet_reduction", "li10"),
-        threads=args.threads,
+        threads=args.threads or 1,
         verbosity=args.verbosity,
         kmer_words=args.kmer_words,
     )
-
-    import os
 
     if os.path.exists(opts.index_file):
         print(f"ERROR: An output file already exists at {opts.index_file}\n"
@@ -141,14 +138,15 @@ def mkindex_main(sub: str, argv: list[str]) -> int:
         return 1
 
     t0 = time.time()
-    vp = (lambda *a: _myprint(opts.verbosity, 2, *a))
-    _myprint(opts.verbosity, 1, "Building index...")
+    from .misc import my_print
+    vp = (lambda *a: my_print(opts.verbosity, 2, *a))
+    _my_print(opts.verbosity, 1, "Building index...")
     idx = artifact.build_index(opts, verbose_print=vp)
     artifact.save_index(idx, opts.index_file)
     if args.dump_json:
         artifact.dump_json(idx, args.dump_json)
-    _myprint(opts.verbosity, 1, f"Index written to {opts.index_file}")
-    _myprint(opts.verbosity, 2, f"Runtime: {time.time()-t0:.2f}s")
+    _my_print(opts.verbosity, 1, f"Index written to {opts.index_file}")
+    _my_print(opts.verbosity, 2, f"Runtime: {time.time()-t0:.2f}s")
     return 0
 
 
@@ -164,7 +162,7 @@ def search_main(sub: str, argv: list[str]) -> int:
     p.add_argument("-n", "--num-matches", type=int, default=25)
     p.add_argument("-p", "--profile", default="none",
                    choices=("none", "fast", "sensitive", "pairs-default", "pairs-sensitive"))
-    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-t", "--threads", type=int, default=None)
     p.add_argument("--db-shards", type=int, default=1,
                    help="shard the database index over this many devices "
                         "of the mesh (data-parallel queries, all_gather "
@@ -269,7 +267,7 @@ def search_main(sub: str, argv: list[str]) -> int:
 
     t0 = time.time()
     stats = run_search(opt)
-    _myprint(opt.verbosity, 2, f"Runtime total: {time.time()-t0:.2f}s")
+    _my_print(opt.verbosity, 2, f"Runtime total: {time.time()-t0:.2f}s")
     if opt.verbosity >= 1:
         stats.print_report(opt)
     return 0

@@ -161,9 +161,12 @@ def build_index(opts: opt_mod.IndexerOptions, verbose_print=None) -> IndexData:
 
 
 def detect_alphabet(seq: bytes) -> str:
-    """detectSeqFileAlphabet (shared_misc.hpp:83): classify first record."""
+    """detectSeqFileAlphabet (shared_misc.hpp:83): classify the first
+    record.  Like the reference, sequences valid over the IUPAC dna15
+    ambiguity alphabet are treated as DNA (ambiguity codes behave as N);
+    anything else is amino acid."""
     up = seq.upper()
-    if all(c in b"ACGTN" for c in up):
+    if all(c in b"ACGTUNRYSWKMBDHV" for c in up):
         return ab.DNA5
     return ab.AMINO_ACID
 

@@ -81,6 +81,8 @@ def _iter_fastq(fh, truncate_ids: bool) -> Iterator[SeqRecord]:
             raise ValueError("malformed FASTQ record")
         yield SeqRecord(ident, seq.encode("ascii"))
         nxt = fh.read(1)
+        while nxt and nxt in "\r\n \t":   # tolerate a whitespace tail
+            nxt = fh.read(1)
         if not nxt:
             return
         if nxt != "@":

@@ -136,3 +136,17 @@ def strip_error_prefix(e: BaseException | str) -> str:
     """Drop a leading 'ERROR: ' so wrappers don't double the prefix."""
     msg = str(e)
     return msg[7:] if msg.startswith("ERROR: ") else msg
+
+
+def open_output(path, mode: str = "wt"):
+    """Open an output file, compressing by extension (.gz / .bz2)."""
+    sp = str(path)
+    if sp.endswith(".gz"):
+        import gzip
+
+        return gzip.open(sp, mode)
+    if sp.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(sp, mode)
+    return open(sp, mode)

@@ -26,8 +26,8 @@ class BlastReportWriter:
     def __init__(self, path: str, program_name: str, version_string: str,
                  db_name: str, db_num_seqs: int, db_total_length: int,
                  matrix_name: str, gap_open: int, gap_extend: int):
-        opener = gzip.open if str(path).endswith(".gz") else open
-        self.fh = opener(path, "wt")
+        from ..misc import open_output
+        self.fh = open_output(path)
         self.program_name = program_name.upper()
         self.version_string = version_string
         self.db_name = db_name

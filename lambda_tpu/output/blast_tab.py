@@ -124,8 +124,8 @@ class BlastTabWriter:
         self.program_line = version_string
         self.db_name = db_name
         self.num_queries = 0
-        opener = gzip.open if str(path).endswith(".gz") else open
-        self.fh = opener(path, "wt")
+        from ..misc import open_output
+        self.fh = open_output(path)
 
     def write_header(self) -> None:
         pass  # tabular formats carry no global header

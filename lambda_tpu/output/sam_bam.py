@@ -153,10 +153,9 @@ class SamBamWriter:
             self.fh = open(path, "wb")
             self._bgzf_buf = b""
         else:
-            import gzip
+            from ..misc import open_output
 
-            opener = gzip.open if str(path).endswith(".gz") else open
-            self.fh = opener(path, "wt")
+            self.fh = open_output(path)
 
     # ---------------- header ----------------
 

@@ -111,6 +111,16 @@ class SearchContext:
         # the index is sharded over a mesh; see below)
         self.db_shards = max(1, int(getattr(opt, "db_shards", 1)))
         self.q_shards = max(1, int(getattr(opt, "q_shards", 1)))
+        if self.q_shards not in (1, 2, 4, 8, 16):
+            raise RuntimeError("--q-shards must be a power of two <= 16 "
+                               "(query batches are bucketed in multiples "
+                               "of 16).")
+        # device coordinates are int32; a single resident image is limited
+        # to 2^31 translated characters — shard bigger databases
+        if idx.db_total_length // self.db_shards >= 2 ** 31:
+            raise RuntimeError(
+                "database exceeds 2^31 translated characters per device "
+                "shard; increase --db-shards (or split the database).")
         self._check_device_memory(opt)
         if self.db_shards * self.q_shards == 1:
             self.d_keys = jnp.asarray(idx.kmer.keys)
@@ -176,13 +186,9 @@ class SearchContext:
                 np.array(devs[:n_dev]).reshape(self.q_shards,
                                                self.db_shards),
                 ("q", "db"))
-            o = idx.trans_offsets
-            tf = [idx.trans_concat[o[i]:o[i + 1]] for i in range(len(o) - 1)]
-            rf = fr.reduce_frames(tf, idx.trans_alph, idx.red_alph)
-            red_concat = (np.concatenate(rf) if rf
-                          else np.zeros(0, np.uint8))
             sh = pmesh.shard_loaded_index(
-                idx.kmer, idx.trans_concat, red_concat, idx.trans_offsets,
+                idx.kmer, idx.trans_concat, self._reduced_concat(),
+                idx.trans_offsets,
                 idx.trans_lengths, self.db_shards,
                 frames_per_subject=self.sbj_num_frames)
             self.shard_base = sh["base"]
@@ -221,18 +227,23 @@ class SearchContext:
                   "--db-shards over more devices or rebuilding with "
                   "--kmer-words 2.")
 
+    def _reduced_concat(self) -> np.ndarray:
+        """Host reduced-alphabet subject concat (redView over the subject,
+        shared_definitions.hpp:270-281)."""
+        o = self.idx.trans_offsets
+        tf = [self.idx.trans_concat[o[i]:o[i + 1]]
+              for i in range(len(o) - 1)]
+        red = fr.reduce_frames(tf, self.idx.trans_alph, self.idx.red_alph)
+        return (np.concatenate(red) if red
+                else np.zeros(0, np.uint8)).astype(np.int8)
+
     @property
     def d_red_sbj(self):
         """Reduced-alphabet subject concat (device); needed only by
-        pigeonhole (delta >= 2) verification, built lazily."""
+        pigeonhole (delta >= 2) verification on the unsharded path,
+        built lazily."""
         if self._d_red_sbj is None:
-            o = self.idx.trans_offsets
-            tf = [self.idx.trans_concat[o[i]:o[i + 1]]
-                  for i in range(len(o) - 1)]
-            red = fr.reduce_frames(tf, self.idx.trans_alph, self.idx.red_alph)
-            cat = (np.concatenate(red) if red
-                   else np.zeros(0, np.uint8)).astype(np.int8)
-            self._d_red_sbj = jnp.asarray(cat)
+            self._d_red_sbj = jnp.asarray(self._reduced_concat())
         return self._d_red_sbj
 
     def _sharded_hits(self, so, d_red_q, d_trans_q, d_qlens, slot_frame,
@@ -272,11 +283,15 @@ class SearchContext:
 
     def query_frame(self, q_seq: np.ndarray, frame_idx: int) -> np.ndarray:
         """Regenerate one translated frame of a query (used at output time
-        for alignment display / SAM)."""
-        frames = fr.query_trans_frames([q_seq], self.qry_orig_alph,
-                                       self.idx.trans_alph, self.idx.red_alph,
-                                       self.opt.genetic_code)
-        return frames[frame_idx]
+        for alignment display / SAM).  Frames are cached for the last
+        query: m0/SAM emit one row per match."""
+        key = id(q_seq)
+        if getattr(self, "_qf_cache_key", None) != key:
+            self._qf_cache_key = key
+            self._qf_cache = fr.query_trans_frames(
+                [q_seq], self.qry_orig_alph, self.idx.trans_alph,
+                self.idx.red_alph, self.opt.genetic_code)
+        return self._qf_cache[frame_idx]
 
     def subject_frame(self, frame_id: int) -> np.ndarray:
         o = self.idx.trans_offsets
@@ -387,8 +402,6 @@ class SearchContext:
         d_qlens = jnp.asarray(qlens)
 
         pigeon = so.max_seed_dist >= 2
-        d_red_sbj = self.d_red_sbj if pigeon \
-            else jnp.zeros(1, jnp.int8)
         # single fused dispatch: seed scan -> device cursor compaction ->
         # locate/verify/prescore; only the hit arrays come back.  If the
         # fixed cursor/hit budgets overflow (the reference has no budgets,
@@ -401,6 +414,8 @@ class SearchContext:
                     so, d_red_q, d_trans_q, d_qlens, slot_frame, slot_begin,
                     slot_rem, Q, stats, scale)
             else:
+                d_red_sbj = self.d_red_sbj if pigeon \
+                    else jnp.zeros(1, jnp.int8)
                 cfg, (stage1, stage2, fused) = self.seeder_for(so, scale)
                 with stats.timed("time_seed"):
                     res2 = fused(self.d_keys, d_red_q, d_qlens,

@@ -362,8 +362,10 @@ def test_overflow_retry_budget_doubling(tmp_path, monkeypatch):
     from lambda_tpu.index import artifact
 
     rng = np.random.default_rng(2)
-    # highly repetitive database: every seed hits everywhere
-    unit = "".join(rng.choice(list("ARND"), 16))
+    # highly repetitive database: every seed hits everywhere.  (Letters
+    # outside the IUPAC dna15 set so auto-detection reads them as protein,
+    # exactly like the reference's detectSeqFileAlphabet.)
+    unit = "".join(rng.choice(list("EFIL"), 16))
     db = tmp_path / "db.fasta"
     fasta.write_fasta(db, [fasta.SeqRecord(f"s{i}", (unit * 30).encode())
                            for i in range(8)])
@@ -385,3 +387,32 @@ def test_overflow_retry_budget_doubling(tmp_path, monkeypatch):
     assert res, "no hits found"
     # the scaled seeder (scale>1) must have been created
     assert any(k[3] > 1 for k in ctx._seeders), ctx._seeders.keys()
+
+
+def test_iupac_dna_query_detected_as_dna(protein_db, tmp_path):
+    """IUPAC-ambiguity DNA (detectSeqFileAlphabet semantics) must be
+    detected as DNA, not protein: searchp runs BLASTX on it."""
+    dna = rev_translate(GYRA[30:90])
+    dna = dna[:20] + "RYSWKM" + dna[26:]   # ambiguity codes act like N
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("iupac_q", dna.encode())])
+    out = tmp_path / "out.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                "-o", str(out), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    assert rows and rows[0][1].startswith("GYRA")
+
+
+def test_bz2_output(protein_db, tmp_path):
+    import bz2 as _bz2
+
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", GYRA[50:130].encode())])
+    plain = tmp_path / "o.m8"
+    bz = tmp_path / "o.m8.bz2"
+    assert run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                   "-o", str(plain), "-v", "0").returncode == 0
+    assert run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                   "-o", str(bz), "-v", "0").returncode == 0
+    assert _bz2.open(bz, "rt").read() == Path(plain).read_text()

@@ -54,3 +54,12 @@ def test_async_input_buffer_order_and_errors():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="producer failed"):
         next(it)
+
+
+def test_fastq_trailing_blank_line(tmp_path):
+    p = tmp_path / "r.fastq"
+    p.write_text("@r1\nACGT\n+\nIIII\n\n")
+    from lambda_tpu.io import fasta as f
+
+    recs = f.read_fasta(str(p))
+    assert len(recs) == 1 and recs[0].seq == b"ACGT"
