@@ -23,24 +23,45 @@ _lib = None
 _tried = False
 
 
+def _isa_tag() -> str:
+    """Cache key component for -march=native builds: shared cache dirs
+    (NFS homes) must not serve ISA-incompatible binaries."""
+    import platform
+
+    key = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    key += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(key.encode()).hexdigest()[:8]
+
+
 def _build() -> Path | None:
     if not _SRC.exists():
         return None
     tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
-    cache = Path(os.environ.get("LAMBDA_NATIVE_CACHE",
-                                Path.home() / ".cache" / "lambda_tpu"))
-    cache.mkdir(parents=True, exist_ok=True)
-    so = cache / f"liblambda_native-{tag}.so"
+    try:
+        cache = Path(os.environ.get("LAMBDA_NATIVE_CACHE",
+                                    Path.home() / ".cache" / "lambda_tpu"))
+        cache.mkdir(parents=True, exist_ok=True)
+    except (OSError, RuntimeError):
+        return None
+    so = cache / f"liblambda_native-{tag}-{_isa_tag()}.so"
     if so.exists():
         return so
-    tmp = so.with_suffix(".so.tmp")
+    # per-PID temp: concurrent cold-cache builders must not interleave
+    tmp = so.with_suffix(f".so.tmp.{os.getpid()}")
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-fopenmp", "-march=native",
            str(_SRC), "-o", str(tmp), "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-    except (subprocess.SubprocessError, FileNotFoundError):
+        os.replace(tmp, so)
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
         return None
-    os.replace(tmp, so)
     return so
 
 

@@ -48,6 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG32 = -(2 ** 27)
 PAD_SCORE8 = -128
+# padded query lengths beyond this would blow the VMEM budget even at the
+# minimum batch tile; callers fall back to the host/XLA kernels
+M_MAX = 16384
 
 _BT_CAP = int(os.environ.get("LAMBDA_SW_BT", "512"))
 

@@ -147,7 +147,7 @@ def sw_align_batch(q, s, subst_ext, gap_first, gap_extend):
     return _scan_core(q, s, subst_ext, gap_first, gap_extend, with_dirs=True)
 
 
-def traceback(dirs: np.ndarray, b: int, bi: int, bj: int, M: int):
+def traceback(dirs: np.ndarray, b: int, bi: int, bj: int):
     """Walk packed directions for alignment ``b`` from 1-based end cell
     (bi, bj) back to the local start.
 

@@ -82,7 +82,7 @@ def widen_and_merge(m: MatchBatch, q_lens: np.ndarray, s_lens: np.ndarray,
                           m.subj_start - m.qry_start)
     qry_start = np.zeros_like(m.qry_start)
     qry_end = qlen.astype(m.qry_end.dtype)
-    band = np.sqrt(qlen).astype(np.int64) + 1
+    band = band_size(qlen)
     subj_end = np.minimum(subj_start + qlen + band, slen)
     subj_start = np.where(band < subj_start, subj_start - band, 0)
 
@@ -225,12 +225,14 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
     for i in range(n):
         group_keys.setdefault((int(qb[i]), int(sb[i]), bool(rev[i])), []).append(i)
 
-    dev_fwd = jnp.asarray(subst_ext_fwd)
-    dev_rev = jnp.asarray(subst_ext_rev)
     use_pallas = not with_trace and _use_pallas()
     if use_pallas:
         e8_fwd = sw_pallas.ext8_from_ext32(subst_ext_fwd)
         e8_rev = sw_pallas.ext8_from_ext32(subst_ext_rev)
+        dev_fwd = dev_rev = None
+    else:
+        dev_fwd = jnp.asarray(subst_ext_fwd)
+        dev_rev = jnp.asarray(subst_ext_rev)
 
     for (qbk, sbk, r), idxs in group_keys.items():
         B = len(idxs)
@@ -242,7 +244,6 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
             sw = s_window.window(int(m.subj_id[i]), int(m.subj_start[i]),
                                  int(m.subj_end[i]))
             sarr[bi, : slen[i]] = sw
-        mat = dev_rev if r else dev_fwd
         if with_trace:
             best, bi_, bj_, dirs = sw_xla.sw_align_batch(
                 jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first, gap_extend)
@@ -252,14 +253,18 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
                 scores[i] = best[bi2]
                 if best[bi2] > 0:
                     q0, s0, ops = sw_xla.traceback(
-                        dirs, bi2, int(bi_[bi2]), int(bj_[bi2]), qbk)
+                        dirs, bi2, int(bi_[bi2]), int(bj_[bi2]))
                     traces[i] = (q0, s0, ops)
-        elif use_pallas:
+        elif use_pallas and qbk <= sw_pallas.M_MAX:
             scores[idxs] = sw_pallas.sw_score_pallas(
                 qarr, sarr, e8_rev if r else e8_fwd, gap_first, gap_extend)
         else:
+            # XLA fallback (also for queries too long for the Pallas
+            # kernel's VMEM budget)
+            mat = jnp.asarray(subst_ext_rev if r else subst_ext_fwd)
             best, _, _ = sw_xla.sw_score_batch(
-                jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first, gap_extend)
+                jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first,
+                gap_extend)
             scores[idxs] = np.asarray(best)
     return scores, traces
 
@@ -301,7 +306,7 @@ def _device_score_bucket(trans_q, trans_sbj, sbj_offsets,
 
 def sw_scores_device(m: MatchBatch, d_trans_q, d_trans_sbj, d_sbj_offsets,
                      e8_fwd, e8_rev, gap_first, gap_extend,
-                     bs_split: bool) -> np.ndarray:
+                     bs_split: bool) -> np.ndarray | None:
     """Pass-1 scores with device-side window gathering.  Matches are
     bucketed by padded shape class like the host path; each bucket is one
     fused dispatch (gather -> substitution image -> Pallas DP)."""
@@ -313,6 +318,8 @@ def sw_scores_device(m: MatchBatch, d_trans_q, d_trans_sbj, d_sbj_offsets,
         return scores
     qlen = (m.qry_end - m.qry_start).astype(np.int64)
     slen = (m.subj_end - m.subj_start).astype(np.int64)
+    if qlen.max() > sw_pallas.M_MAX:
+        return None   # caller falls back to the bucketed host path
     rev = (m.subj_id % 2 == 1) if bs_split else np.zeros(n, dtype=bool)
     group_keys: dict = {}
     for i in range(n):

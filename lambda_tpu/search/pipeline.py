@@ -464,13 +464,15 @@ class SearchContext:
         gf = self.align_fwd.dp_gap_first
         ge = self.align_fwd.dp_gap_extend
         with stats.timed("time_extend"):
+            scores = None
             if extend._use_pallas():
                 # fully device-resident score pass (windows gathered from
-                # the resident query/subject tensors)
+                # the resident query/subject tensors); None = query too
+                # long for the kernel's VMEM budget
                 scores = extend.sw_scores_device(
                     m, d_trans_q, self.d_trans_sbj, self.d_sbj_offsets,
                     self.e8_fwd, self.e8_rev, gf, ge, self.bs_mode)
-            else:
+            if scores is None:
                 scores, _ = extend._run_bucketed(
                     m, trans, self.s_windows, self.sw_fwd, self.sw_rev,
                     gf, ge, self.bs_mode, with_trace=False)

@@ -54,10 +54,9 @@ static int32_t sw_one(const int32_t* q, int32_t qlen,
                       int32_t* q0_out, int32_t* s0_out,
                       int32_t* qe_out, int32_t* se_out,
                       uint8_t* ops, int32_t ops_cap, int32_t* ops_len) {
+    // only the 1-byte direction matrix is O(qlen*slen); H/E/F roll by row
     const int64_t W = (int64_t)slen + 1;
-    std::vector<int32_t> H((int64_t)(qlen + 1) * W, 0);
-    std::vector<int32_t> E((int64_t)(qlen + 1) * W, NEG);
-    std::vector<int32_t> F((int64_t)(qlen + 1) * W, NEG);
+    std::vector<int32_t> Hrow(W, 0), Frow(W, NEG);
     std::vector<uint8_t> D((int64_t)(qlen + 1) * W, 0);
 
     int32_t best = 0, bi = 0, bj = 0;
@@ -65,18 +64,19 @@ static int32_t sw_one(const int32_t* q, int32_t qlen,
 
     for (int32_t i = 1; i <= qlen; ++i) {
         const int32_t* srow = subst + (int64_t)q[i - 1] * alph;
+        int32_t h_diag = Hrow[0];   // H(i-1, j-1), starts at H(i-1, 0) == 0
+        int32_t h_left = 0;         // H(i, j-1), H(i, 0) == 0
+        int32_t e_left = NEG;       // E(i, j-1), E(i, 0) == -inf
         for (int32_t j = 1; j <= slen; ++j) {
-            const int64_t c = (int64_t)i * W + j;
-            const int64_t cl = c - 1;        // (i, j-1)
-            const int64_t cu = c - W;        // (i-1, j)
-            const int64_t cd = cu - 1;       // (i-1, j-1)
-            int32_t e_ext = E[cl] + gap_extend;
-            int32_t e_opn = H[cl] + gap_first;
+            int32_t e_ext = e_left + gap_extend;
+            int32_t e_opn = h_left + gap_first;
             int32_t e = e_ext >= e_opn ? e_ext : e_opn;
-            int32_t f_ext = F[cu] + gap_extend;
-            int32_t f_opn = H[cu] + gap_first;
+            // F(i, j) from row i-1: Frow[j] = F(i-1, j), Hrow[j] still
+            // holds H(i-1, j) here (overwritten below)
+            int32_t f_ext = Frow[j] + gap_extend;
+            int32_t f_opn = Hrow[j] + gap_first;
             int32_t f = f_ext >= f_opn ? f_ext : f_opn;
-            int32_t diag = H[cd] + srow[s[j - 1]];
+            int32_t diag = h_diag + srow[s[j - 1]];
             int32_t h = 0;
             if (diag > h) h = diag;
             if (e > h) h = e;
@@ -90,10 +90,12 @@ static int32_t sw_one(const int32_t* q, int32_t qlen,
             }
             if (e_ext >= e_opn) code |= 4;
             if (f_ext >= f_opn) code |= 8;
-            H[c] = h;
-            E[c] = e;
-            F[c] = f;
-            D[c] = code;
+            D[(int64_t)i * W + j] = code;
+            h_diag = Hrow[j];   // save H(i-1, j) before overwrite
+            Hrow[j] = h;
+            Frow[j] = f;
+            h_left = h;
+            e_left = e;
             const int64_t d = (int64_t)i + j;
             if (h > best ||
                 (h == best && h > 0 &&
@@ -352,7 +354,7 @@ int32_t bgzf_compress_block(const uint8_t* data, int32_t len, int32_t level,
     deflateEnd(&zs);
 
     int32_t bsize = 18 + clen + 8;  // header + payload + crc32/isize
-    if (bsize > out_cap) return -1;
+    if (bsize > 65536 || bsize > out_cap) return -1;  // BSIZE is uint16
     uint8_t* p = out;
     const uint8_t hdr[16] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
                              6, 0, 'B', 'C', 2, 0};

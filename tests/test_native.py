@@ -48,7 +48,7 @@ def test_native_traceback_matches_xla():
             continue
         q0, s0, ops = sw_xla.traceback(
             np.asarray(dirs), 0, int(np.asarray(bi)[0]),
-            int(np.asarray(bj)[0]), 64)
+            int(np.asarray(bj)[0]))
         assert traces[b] == (q0, s0, ops)
         # score recomputed from ops must equal reported score
         got = sw_xla.score_of_ops(q_list[b], s_list[b], *traces[b],

@@ -163,7 +163,7 @@ def test_sw_align_traceback_score_consistent():
     for b in range(B):
         if best[b] == 0:
             continue
-        q0, s0, ops = sw_xla.traceback(dirs, b, int(bi[b]), int(bj[b]), M)
+        q0, s0, ops = sw_xla.traceback(dirs, b, int(bi[b]), int(bj[b]))
         score = sw_xla.score_of_ops(qb[b], sb[b], q0, s0, ops, subst, gf, ge)
         assert score == best[b], f"alignment {b}: {ops}"
         # end coordinates consistent with consumed ops
@@ -183,7 +183,7 @@ def test_sw_known_alignment():
     best, bi, bj, dirs = sw_xla.sw_align_batch(
         jnp.asarray(q[None]), jnp.asarray(q[None]), jnp.asarray(ext), -7, -2)
     assert int(best[0]) == 16
-    q0, s0, ops = sw_xla.traceback(np.asarray(dirs), 0, int(bi[0]), int(bj[0]), 8)
+    q0, s0, ops = sw_xla.traceback(np.asarray(dirs), 0, int(bi[0]), int(bj[0]))
     assert (q0, s0) == (0, 0)
     assert ops == [("M", 8)]
 
@@ -200,7 +200,7 @@ def test_sw_gap_alignment():
         jnp.asarray(q[None]), jnp.asarray(s[None]), jnp.asarray(ext), gf, ge)
     # 8 matches (16) - gap of 2 (4+1) = 11
     assert int(best[0]) == 11
-    q0, s0, ops = sw_xla.traceback(np.asarray(dirs), 0, int(bi[0]), int(bj[0]), 8)
+    q0, s0, ops = sw_xla.traceback(np.asarray(dirs), 0, int(bi[0]), int(bj[0]))
     assert sum(r for op, r in ops if op == "D") == 2
     assert sw_xla.score_of_ops(q, s, q0, s0, ops, subst, gf, ge) == 11
 
