@@ -258,9 +258,19 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
         elif use_pallas and qbk <= sw_pallas.M_MAX:
             scores[idxs] = sw_pallas.sw_score_pallas(
                 qarr, sarr, e8_rev if r else e8_fwd, gap_first, gap_extend)
+        elif native.get_lib() is not None:
+            # host fallback for queries too long for the Pallas kernel's
+            # VMEM budget (far faster than the XLA scan kernel)
+            q_list = [q_frames[m.qry_id[i]][m.qry_start[i]:m.qry_end[i]]
+                      for i in idxs]
+            s_list = [s_window.window(int(m.subj_id[i]),
+                                      int(m.subj_start[i]),
+                                      int(m.subj_end[i])) for i in idxs]
+            mat = np.asarray(subst_ext_rev if r else subst_ext_fwd,
+                             dtype=np.int32)
+            scores[idxs] = native.sw_score_batch(
+                q_list, s_list, mat, gap_first, gap_extend)
         else:
-            # XLA fallback (also for queries too long for the Pallas
-            # kernel's VMEM budget)
             mat = jnp.asarray(subst_ext_rev if r else subst_ext_fwd)
             best, _, _ = sw_xla.sw_score_batch(
                 jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first,

@@ -145,3 +145,31 @@ def test_native_score_batch_matches_reference():
     want = [sw_xla.sw_reference(q, s, subst, -9, -2)
             for q, s in zip(q_list, s_list)]
     np.testing.assert_array_equal(got, want)
+
+
+@needs_native
+def test_long_query_fallback_path(monkeypatch):
+    """Buckets beyond the Pallas M_MAX cap route to the native host
+    scorer with identical results."""
+    from lambda_tpu.ops import sw_pallas
+    from lambda_tpu.search import extend
+
+    monkeypatch.setattr(sw_pallas, "M_MAX", 32)   # force the fallback
+    monkeypatch.setenv("LAMBDA_SW_KERNEL", "pallas")
+    rng = np.random.default_rng(4)
+    A = 6
+    subst = rng.integers(-3, 4, size=(A, A)).astype(np.int32)
+    np.fill_diagonal(subst, 5)
+    ext = sw_xla.extend_matrix(subst)
+    q_frames = [rng.integers(0, A, size=60).astype(np.int32)]
+    s_concat = rng.integers(0, A, size=200).astype(np.int32)
+    s_concat[80:140] = q_frames[0]
+    sw = extend.SubjectWindows(s_concat, np.array([0, 200]))
+    m = extend.MatchBatch(
+        qry_id=np.array([0]), subj_id=np.array([0]),
+        qry_start=np.array([0]), qry_end=np.array([60]),
+        subj_start=np.array([60]), subj_end=np.array([160]))
+    scores, _ = extend._run_bucketed(m, q_frames, sw, ext, ext, -7, -2,
+                                     False, with_trace=False)
+    want = sw_xla.sw_reference(q_frames[0], s_concat[60:160], subst, -7, -2)
+    assert scores[0] == want
