@@ -17,9 +17,9 @@ score-only alignment pass (SeqAn2 ``_prepareAndRunSimdAlignment``,
   with a max-plus doubling prefix scan (log2(M) lane-rolls) — exact, no
   lazy-F iteration:  ``F[i] = max_{k<=i} v[k] + (i-k)*ge`` via
   ``F = max(F, roll(F, s) + s*ge)`` for s = 1, 2, 4, ...
-* Lane shifts are static-slice concats; ``pltpu.roll`` and all int16
-  vector ops fail to legalize in Mosaic on v5e (``arith.maxsi`` on packed
-  i16), so accumulation is int32.  Large batch tiles (BT up to 512) hide
+* Lane shifts use ``pltpu.roll`` (32-bit lanes only; int16 vector ops —
+  rolls AND ``arith.maxsi`` on packed i16 — fail to legalize in Mosaic on
+  v5e, so accumulation is int32).  Large batch tiles (BT up to 512) hide
   the dependent-op latency of the per-column chain (measured 24 -> 33
   GCUPS going from BT=128 to BT=512).
 * Affine-gap convention matches the reference (search_algo.hpp:226-230):
@@ -125,8 +125,10 @@ def _make_kernel(NC: int, M: int, BT: int, n_chunks: int, gap_first: int,
     def kernel(sub_ref, out_ref, H_ref, E_ref, best_ref):
         def roll1(x, s):
             # circular lane-shift by s; the first s lanes carry junk that
-            # every consumer overrides via masks/added constants
-            return jnp.concatenate([x[:, M - s:], x[:, :M - s]], axis=1)
+            # every consumer overrides via masks/added constants.
+            # (pltpu.roll measures the same as a concat of slices; it only
+            # legalizes for 32-bit lanes, which this kernel always is)
+            return pltpu.roll(x, shift=s, axis=1)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (BT, M), dimension=1)
         m0 = lane == 0
