@@ -61,6 +61,16 @@ def main() -> None:
     dq, ds_ = jnp.asarray(q), jnp.asarray(s)
     interpret = on_cpu
 
+    # integrity check: never publish a throughput number for a kernel
+    # that stopped matching the exact reference DP
+    from lambda_tpu.ops import sw_xla
+    nchk = 4
+    got = sw_pallas.sw_score_pallas(q[:nchk, :48], s[:nchk, :64], e8,
+                                    -12, -1, interpret=interpret)
+    want = [sw_xla.sw_reference(q[b, :48], s[b, :64], subst, -12, -1)
+            for b in range(nchk)]
+    assert list(got) == want, f"kernel correctness check failed: {got} vs {want}"
+
     @jax.jit
     def reps(nz, q, s, e8):
         def body(acc, nzi):
