@@ -245,6 +245,7 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
                                  int(m.subj_end[i]))
             sarr[bi, : slen[i]] = sw
         if with_trace:
+            mat = dev_rev if r else dev_fwd
             best, bi_, bj_, dirs = sw_xla.sw_align_batch(
                 jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first, gap_extend)
             best, bi_, bj_ = map(np.asarray, (best, bi_, bj_))

@@ -1,0 +1,70 @@
+"""Backend-matrix byte-parity: the same search must produce identical
+output bytes regardless of which score/traceback backend serves it.
+
+This is the framework's graceful-degradation contract (CLAUDE.md): every
+native/C++ or Pallas fast path has a pure Python/XLA fallback with
+identical semantics.  Reference two-pass structure being emulated by all
+backends: /root/reference/src/search_algo.hpp:1246,1296.
+
+Matrix:
+  LAMBDA_SW_KERNEL=native, LAMBDA_NO_NATIVE unset  (C++ host score+trace)
+  LAMBDA_SW_KERNEL=xla,    LAMBDA_NO_NATIVE unset  (XLA score, C++ trace)
+  LAMBDA_SW_KERNEL=xla,    LAMBDA_NO_NATIVE=1      (pure Python/XLA both)
+  LAMBDA_SW_KERNEL=native, LAMBDA_NO_NATIVE=1      (misconfig -> XLA both)
+
+The last two exercise the pure-Python traceback fallback that crashed in
+round 1 (UnboundLocalError on `mat`, extend.py).
+"""
+
+from pathlib import Path
+
+import pytest
+
+from lambda_tpu.io import fasta
+from tests.test_e2e import GYRA, run_cli
+
+COMBOS = [
+    {"LAMBDA_SW_KERNEL": "native"},
+    {"LAMBDA_SW_KERNEL": "xla"},
+    {"LAMBDA_SW_KERNEL": "xla", "LAMBDA_NO_NATIVE": "1"},
+    {"LAMBDA_SW_KERNEL": "native", "LAMBDA_NO_NATIVE": "1"},
+]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("backend_matrix")
+    db = d / "db.fasta"
+    fasta.write_fasta(db, [
+        fasta.SeqRecord("GYRA_ECOLI gyrase subunit A", GYRA.encode()),
+        fasta.SeqRecord("SECOND_PROT some other protein",
+                        (GYRA[200:420] + GYRA[10:90]).encode()),
+    ])
+    q = d / "q.fasta"
+    frag = GYRA[50:130]
+    frag2 = GYRA[200:280]
+    frag2 = frag2[:30] + "AG" + frag2[32:]
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", frag.encode()),
+                          fasta.SeqRecord("q2", frag2.encode())])
+    lit = d / "db.lit"
+    r = run_cli("mkindexp", "-d", str(db), "-i", str(lit), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    return d
+
+
+def _search(workdir: Path, tag: str, extra_env) -> bytes:
+    out = workdir / f"out_{tag}.m8"
+    r = run_cli("searchp", "-q", str(workdir / "q.fasta"),
+                "-i", str(workdir / "db.lit"), "-o", str(out), "-v", "0",
+                extra_env=extra_env)
+    assert r.returncode == 0, f"{extra_env}: {r.stderr}"
+    data = out.read_bytes()
+    assert data.strip(), f"{extra_env}: empty output"
+    return data
+
+
+def test_backend_matrix_byte_parity(workdir):
+    outs = [_search(workdir, str(i), env) for i, env in enumerate(COMBOS)]
+    for i, data in enumerate(outs[1:], start=1):
+        assert data == outs[0], (
+            f"backend combo {COMBOS[i]} diverged from {COMBOS[0]}")

@@ -36,16 +36,18 @@ def revcomp(s: str) -> str:
     return "".join(comp[c] for c in reversed(s))
 
 
-def run_cli(*args) -> subprocess.CompletedProcess:
+def run_cli(*args, extra_env=None) -> subprocess.CompletedProcess:
+    env = {"PYTHONPATH": str(REPO), "JAX_PLATFORM_NAME": "cpu",
+           "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+           "HOME": "/root",
+           "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+           "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    if extra_env:
+        env.update(extra_env)
     return subprocess.run(
         [sys.executable, "-m", "lambda_tpu.cli", *args],
-        capture_output=True, text=True, cwd=REPO,
-        env={"PYTHONPATH": str(REPO), "JAX_PLATFORM_NAME": "cpu",
-             "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
-             "HOME": "/root",
-             "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
-             "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1",
-             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+        capture_output=True, text=True, cwd=REPO, env=env,
         check=False)
 
 
