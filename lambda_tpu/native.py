@@ -88,6 +88,7 @@ def get_lib():
         ctypes.c_int32,                      # B
         i32p, ctypes.c_int32,                # subst, alph
         i32p, u8p,                           # subst_rev, use_rev
+        i32p,                                # band (per-row D; NULL=full)
         ctypes.c_int32, ctypes.c_int32,      # gap_first, gap_extend
         i32p, i32p, i32p, i32p, i32p,        # score, q0, s0, qe, se
         u8p, ctypes.c_int32, i32p,           # ops, ops_stride, ops_len
@@ -97,14 +98,14 @@ def get_lib():
         i32p, ctypes.c_int32, i32p,
         i32p, ctypes.c_int32, i32p,
         ctypes.c_int32, i32p, ctypes.c_int32,
-        i32p, u8p, ctypes.c_int32, ctypes.c_int32, i32p,
+        i32p, u8p, i32p, ctypes.c_int32, ctypes.c_int32, i32p,
     ]
     lib.sw_score_batch_host.restype = None
     lib.bgzf_compress_block.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32,
                                         u8p, ctypes.c_int32]
     lib.bgzf_compress_block.restype = ctypes.c_int32
     i64p = ctypes.POINTER(ctypes.c_int64)
-    lib.merge_passes.argtypes = [i64p] * 6 + [u8p, ctypes.c_int64]
+    lib.merge_passes.argtypes = [i64p] * 8 + [u8p, ctypes.c_int64]
     lib.merge_passes.restype = None
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.sort_rows_u32.argtypes = [u32p, ctypes.c_int64, ctypes.c_int32, i64p]
@@ -147,12 +148,15 @@ def _marshal_sw_batch(q_list, s_list, subst, subst_rev, use_rev):
 def sw_traceback_batch(q_list, s_list, subst: np.ndarray,
                        gap_first: int, gap_extend: int,
                        subst_rev: np.ndarray | None = None,
-                       use_rev: np.ndarray | None = None):
+                       use_rev: np.ndarray | None = None,
+                       band: np.ndarray | None = None):
     """Batched local SW with traceback on the host.
 
-    q_list/s_list: sequences (1-D int arrays of ranks).  Returns
-    (scores, traces) where traces[i] = (q0, s0, [(op, run), ...]) in the
-    conventions of ops/sw_xla.traceback, or None for score-0 alignments.
+    q_list/s_list: sequences (1-D int arrays of ranks).  band: optional
+    per-row diagonal band sizes (ops/sw_band.py semantics; None = full
+    rectangle).  Returns (scores, traces) where traces[i] =
+    (q0, s0, [(op, run), ...]) in the conventions of
+    ops/sw_xla.traceback, or None for score-0 alignments.
     """
     lib = get_lib()
     assert lib is not None
@@ -161,6 +165,8 @@ def sw_traceback_batch(q_list, s_list, subst: np.ndarray,
     u8p = ctypes.POINTER(ctypes.c_uint8)
     q, s, qlen, slen, sub, sub_rev, urev = _marshal_sw_batch(
         q_list, s_list, subst, subst_rev, use_rev)
+    band = (np.ascontiguousarray(band, dtype=np.int32)
+            if band is not None else None)
     qs = q.shape[1]
     ss = s.shape[1]
     alph = sub.shape[0]
@@ -180,6 +186,7 @@ def sw_traceback_batch(q_list, s_list, subst: np.ndarray,
         B, _ptr(sub, i32p), alph,
         _ptr(sub_rev, i32p) if sub_rev is not None else None,
         _ptr(urev, u8p) if urev is not None else None,
+        _ptr(band, i32p) if band is not None else None,
         int(gap_first), int(gap_extend),
         _ptr(score, i32p), _ptr(q0, i32p), _ptr(s0, i32p),
         _ptr(qe, i32p), _ptr(se, i32p),
@@ -215,9 +222,10 @@ def bgzf_compress_block(data: bytes, level: int = 6) -> bytes | None:
     return out[:n].tobytes()
 
 
-def merge_passes(qid, sid, qs, qe, ss, se):
+def merge_passes(qid, sid, qs, qe, ss, se, dlo, dhi):
     """In-place widen/merge passes over pre-sorted match rows (exact
-    replication of search_algo.hpp:1148-1169).  Arrays must be
+    replication of search_algo.hpp:1148-1169), unioning the diagonal
+    extension bands (dlo/dhi) of merged rows.  Arrays must be
     contiguous int64; returns the unique-keep mask."""
     lib = get_lib()
     assert lib is not None
@@ -226,7 +234,7 @@ def merge_passes(qid, sid, qs, qe, ss, se):
     i64p = ctypes.POINTER(ctypes.c_int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.merge_passes(*(a.ctypes.data_as(i64p)
-                       for a in (qid, sid, qs, qe, ss, se)),
+                       for a in (qid, sid, qs, qe, ss, se, dlo, dhi)),
                      keep.ctypes.data_as(u8p), n)
     return keep.astype(bool)
 
@@ -270,8 +278,10 @@ def pack_position_keys(concat: np.ndarray, offsets: np.ndarray,
 def sw_score_batch(q_list, s_list, subst: np.ndarray,
                    gap_first: int, gap_extend: int,
                    subst_rev: np.ndarray | None = None,
-                   use_rev: np.ndarray | None = None) -> np.ndarray:
-    """Batched score-only local SW on the host (pass-1 CPU fallback)."""
+                   use_rev: np.ndarray | None = None,
+                   band: np.ndarray | None = None) -> np.ndarray:
+    """Batched score-only local SW on the host (pass-1 CPU fallback).
+    band: optional per-row diagonal band sizes (None = full rectangle)."""
     lib = get_lib()
     assert lib is not None
     B = len(q_list)
@@ -279,6 +289,8 @@ def sw_score_batch(q_list, s_list, subst: np.ndarray,
     u8p = ctypes.POINTER(ctypes.c_uint8)
     q, s, qlen, slen, sub, sub_rev, urev = _marshal_sw_batch(
         q_list, s_list, subst, subst_rev, use_rev)
+    band = (np.ascontiguousarray(band, dtype=np.int32)
+            if band is not None else None)
     score = np.zeros(B, dtype=np.int32)
     lib.sw_score_batch_host(
         _ptr(q, i32p), q.shape[1], _ptr(qlen, i32p),
@@ -286,5 +298,6 @@ def sw_score_batch(q_list, s_list, subst: np.ndarray,
         B, _ptr(sub, i32p), sub.shape[0],
         _ptr(sub_rev, i32p) if sub_rev is not None else None,
         _ptr(urev, u8p) if urev is not None else None,
+        _ptr(band, i32p) if band is not None else None,
         int(gap_first), int(gap_extend), _ptr(score, i32p))
     return score.astype(np.int64)

@@ -1,0 +1,319 @@
+"""Banded Smith-Waterman score kernel (Pallas TPU) — the round-2 hot
+kernel.
+
+The reference *wanted* banded extension and could not have it (SeqAn2's
+SIMD alignment cannot band, ``/root/reference/src/search_algo.hpp:1102``)
+so it widens every match to the full query plus a sqrt-band subject
+margin (``search_misc.hpp:46-50``) and pays for the whole rectangle.
+This kernel computes only the diagonal band the widener intended:
+
+* Window convention: the caller builds a *virtual* subject window such
+  that the band is exactly ``d = j - i ∈ [0, D]`` (query position i,
+  window position j).  Positions outside the real subject are PAD rank.
+* Layout: band offset ``w = i - j + D`` on the SUBLANE axis (W = D+1
+  padded to a multiple of 8 — typically 24-72 sublanes instead of the
+  rectangle kernel's full query on 128+ lanes), batch on the LANE axis.
+  Moving one subject column keeps the diagonal predecessor in the same
+  (w) slot, pulls E/H from ``w+1``, and runs the F max-plus prefix scan
+  along ascending ``w`` in log2(W) sublane-rolls — the same doubling
+  scan as ops/sw_pallas.py but over the band instead of the query.
+* The substitution image is built on the MXU exactly like the rectangle
+  kernel (one-hot einsum), then SHEARED into band coordinates with a
+  pad+reshape trick (row stride N+1 re-interpretation) — no gathers:
+  ``SUBB[b, j, w] = SUB[b, j, j+w-D] = flat[b, j*(N+1) + w]`` once D
+  junk bytes are prepended.  Junk and out-of-band reads are provably
+  harmless: they are PAD (-128) by construction or masked in-kernel.
+* Per-row band widths: each alignment carries its true band size
+  ``D_row <= D`` (w >= D - D_row masked) so results are independent of
+  how alignments are grouped into kernel batches (batch-size/shard
+  determinism, CLAUDE.md conventions).
+
+Scoring/gap conventions match ops/sw_pallas.py (search_algo.hpp:226-230).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG32 = -(2 ** 27)
+PAD_SCORE8 = -128
+
+_BTL_CAP = int(os.environ.get("LAMBDA_SWB_BTL", "1024"))
+
+
+def _ceil(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def band_pad(D: int) -> int:
+    """Sublane band width for band size D (w in [0, D] plus tile pad)."""
+    return _ceil(D + 1, 8)
+
+
+def lane_tile(W: int) -> int:
+    """Batch lanes per kernel program (bigger tiles keep the VPU busy;
+    VMEM budget: 3 int32 (W, BTL) state arrays + a double-buffered
+    (NC>=8, W, BTL) int8 input block must fit scoped VMEM)."""
+    btl = (1 << 21) // max(W, 8)        # ~2 MB of int32 state total
+    btl = min(btl, (1 << 18) // max(W, 8))       # 8-col block <= 2 MB
+    btl = max(128, min(_BTL_CAP, btl))
+    return (btl // 128) * 128
+
+
+def _plan(Ns: int, D: int):
+    """Tile plan for a (window=Ns, band=D) bucket: returns
+    (N, W, BTL, NC, JB) with N a multiple of NC and of JB, NC the
+    subject columns per VMEM chunk, JB the image/shear column block
+    (O(JB^2) per-block image instead of O(N^2) — the rectangle kernel's
+    M_MAX cliff does not exist here)."""
+    W = band_pad(D)
+    BTL = lane_tile(W)
+    NC = max(2 * 1024 * 1024 // (W * BTL), 8)
+    NC = 1 << int(np.log2(NC))
+    N = max(_ceil(Ns, 8), W)
+    if NC >= N:
+        NC = N = _ceil(N, 8)
+        JB = N
+    elif N <= 512:
+        N = _ceil(N, NC)
+        JB = N
+    else:
+        JB = max(512 // NC, 1) * NC
+        N = _ceil(N, JB)
+    return N, W, BTL, NC, JB
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_tiles", "BTL", "D", "W", "N", "JB"))
+def _band_image(q, s, subst_ext8, n_tiles, BTL, D, W, N, JB):
+    """Sheared banded substitution image SUBB (T, N, W, BTL) int8 with
+    SUBB[t, j, w, b] = S(q[b, j + w - D], s[b, j]) (PAD -> -128).
+
+    q, s: (B, N) int32 rank arrays (q padded with PAD rank beyond qlen —
+    the query buffer is window-width so the shear never crosses rows).
+    Built per column-block on the MXU (one-hot contractions), then
+    sheared into band coordinates by a pad+reshape stride trick — no
+    gathers anywhere.
+    """
+    B = q.shape[0]
+    C = subst_ext8.shape[0]
+    iota = jnp.arange(C, dtype=jnp.int32)
+    ohs = (s[:, :, None] == iota).astype(jnp.bfloat16)           # (B, N, C)
+    # prof_s[b, j, c] = S(c, s_j)
+    prof_s = jax.lax.dot_general(
+        ohs, subst_ext8.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.bfloat16)                     # (B, N, C)
+    pad_rank = C - 1
+    qpad = jnp.concatenate(
+        [jnp.full((B, D), pad_rank, q.dtype), q], axis=1)        # (B, N+D)
+
+    Mblk = JB + D
+    blocks = []
+    for j0 in range(0, N, JB):
+        qblk = qpad[:, j0 : j0 + Mblk]                           # i = j0-D+r
+        ohq = (qblk[:, :, None] == iota).astype(jnp.bfloat16)    # (B,Mblk,C)
+        pblk = prof_s[:, j0 : j0 + JB, :]                        # (B, JB, C)
+        sub = jax.lax.dot_general(
+            pblk, ohq, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.bfloat16)                 # (B,JB,Mblk)
+        sub = sub.astype(jnp.int8)
+        # shear: SUBB[b, j0+jj, w] = sub[b, jj, jj + w] via stride Mblk+1
+        flat = sub.reshape(B, JB * Mblk)
+        tail = jnp.full((B, JB), PAD_SCORE8, jnp.int8)
+        flat = jnp.concatenate([flat, tail], axis=1)
+        blocks.append(flat.reshape(B, JB, Mblk + 1)[:, :, :W])
+    subb = jnp.concatenate(blocks, axis=1) if len(blocks) > 1 else blocks[0]
+    subb = subb.reshape(n_tiles, BTL, N, W).transpose(0, 2, 3, 1)
+    return subb                                                   # (T,N,W,BTL)
+
+
+def _make_band_kernel(NC: int, W: int, BTL: int, n_chunks: int, D: int,
+                      gap_first: int, gap_extend: int):
+    neg = NEG32
+    steps = []
+    st = 1
+    while st < W:
+        steps.append(st)
+        st *= 2
+
+    def kernel(sub_ref, wmin_ref, out_ref, H_ref, E_ref, best_ref):
+        def roll_from_below(x, s):
+            # y[w] = x[w - s] (wraparound killed by the additive consts)
+            return pltpu.roll(x, shift=s, axis=0)
+
+        def roll_from_above(x):
+            # y[w] = x[w + 1]
+            return pltpu.roll(x, shift=W - 1, axis=0)
+
+        wio = jax.lax.broadcasted_iota(jnp.int32, (W, BTL), dimension=0)
+        ge = jnp.int32(gap_extend)
+        gf = jnp.int32(gap_first)
+        top = wio == W - 1
+        # E/H pull from w+1; lane W-1 has no source (additive -inf)
+        ge_c = jnp.where(top, jnp.int32(neg), ge)
+        gf_c = jnp.where(top, jnp.int32(neg), gf)
+        # F init pulls from w-1; lane 0 has no source
+        gf_f = jnp.where(wio == 0, jnp.int32(neg), gf)
+        c_steps = [jnp.where(wio < s, jnp.int32(neg),
+                             jnp.int32(max(s * gap_extend, neg)))
+                   for s in steps]
+        # band validity: w in [D - D_row, D] per batch lane
+        in_band = (wio >= wmin_ref[0, 0:1, :]) & (wio <= D)
+        neg8 = jnp.int32(PAD_SCORE8)
+
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            H_ref[:] = jnp.zeros((W, BTL), jnp.int32)
+            E_ref[:] = jnp.full((W, BTL), jnp.int32(neg))
+            best_ref[:] = jnp.zeros((W, BTL), jnp.int32)
+
+        def body(j, _):
+            H = H_ref[:]
+            subcol = sub_ref[0, j, :, :].astype(jnp.int32)
+            subcol = jnp.where(in_band, subcol, neg8)
+            E = jnp.maximum(roll_from_above(E_ref[:]) + ge_c,
+                            roll_from_above(H) + gf_c)
+            Htmp = jnp.maximum(jnp.maximum(H + subcol, E), jnp.int32(0))
+            F = roll_from_below(Htmp, 1) + gf_f
+            for s, cs in zip(steps, c_steps):
+                F = jnp.maximum(F, roll_from_below(F, s) + cs)
+            Hn = jnp.maximum(Htmp, F)
+            H_ref[:] = Hn
+            E_ref[:] = E
+            best_ref[:] = jnp.maximum(best_ref[:], Hn)
+            return 0
+
+        jax.lax.fori_loop(0, NC, body, 0)
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            out_ref[0, 0, :] = jnp.max(best_ref[:], axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_tiles", "N", "W", "BTL", "NC", "D",
+                                    "gap_first", "gap_extend", "interpret"))
+def _score_band_padded(subb, wmin, n_tiles, N, W, BTL, NC, D, gap_first,
+                       gap_extend, interpret):
+    assert N % NC == 0, (N, NC)
+    n_chunks = N // NC
+    kernel = _make_band_kernel(NC, W, BTL, n_chunks, D, gap_first, gap_extend)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, BTL), jnp.int32),
+        grid=(n_tiles, n_chunks),
+        in_specs=[pl.BlockSpec((1, NC, W, BTL), lambda t, c: (t, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, BTL), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, BTL), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((W, BTL), jnp.int32) for _ in range(3)],
+        interpret=interpret,
+        # default scoped VMEM is 16 MB; wide (merged) bands need headroom
+        # (v5e has ~128 MB, CLAUDE.md "Mosaic/v5e kernel facts")
+        **({} if interpret else dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024))),
+    )(subb, wmin)
+    return out[:, 0, :]
+
+
+def pad_cols(Ns: int, D: int) -> int:
+    """Window padding the kernel needs for band size D."""
+    return _plan(Ns, D)[0]
+
+
+def sw_band_score_device(q, s, d_rows, subst_ext8, D: int,
+                         gap_first: int, gap_extend: int,
+                         interpret: bool = False):
+    """Device-array variant.  q, s: (B, N) int32 rank arrays on device
+    (q PAD-padded beyond qlen, s the virtual window), d_rows: (B,) int32
+    per-row band sizes (<= D), B % BTL == 0, N == pad_cols(N, D).
+    Returns (B,) int32 best in-band local scores."""
+    B, N = q.shape
+    Np, W, BTL, NC, JB = _plan(N, D)
+    assert Np == N, (N, Np)
+    n_tiles = B // BTL
+    subb = _band_image(q, s, subst_ext8, n_tiles, BTL, D, W, N, JB)
+    wmin = (jnp.int32(D) - d_rows).reshape(n_tiles, 1, BTL)
+    wmin = jnp.broadcast_to(wmin, (n_tiles, 8, BTL))
+    out = _score_band_padded(subb, wmin, n_tiles, N, W, BTL, NC, D,
+                             int(gap_first), int(gap_extend), interpret)
+    return out.reshape(B)
+
+
+def sw_band_score_pallas(q: np.ndarray, s: np.ndarray, d_rows: np.ndarray,
+                         subst_ext8, gap_first: int, gap_extend: int,
+                         interpret: bool = False) -> np.ndarray:
+    """Host API: best banded local score per row.
+
+    q: (B, Mq) int32 ranks (PAD rank = alphabet size); s: (B, Ns) the
+    VIRTUAL windows (window position j maps to query position j - d for
+    band offsets d in [0, D]); d_rows: per-row band sizes.
+    """
+    B, Mq = q.shape
+    Ns = s.shape[1]
+    D = int(d_rows.max()) if len(d_rows) else 0
+    pad_rank = int(np.asarray(subst_ext8).shape[0]) - 1
+    N, W, BTL, _, _ = _plan(Ns, D)
+    Bp = _ceil(max(B, 1), BTL)
+
+    qp = np.full((Bp, N), pad_rank, dtype=np.int32)
+    qp[:B, :Mq] = q
+    sp = np.full((Bp, N), pad_rank, dtype=np.int32)
+    sp[:B, :Ns] = s
+    dr = np.zeros(Bp, dtype=np.int32)
+    dr[:B] = d_rows
+
+    if interpret:
+        dev = jax.devices("cpu")[0]
+        put = functools.partial(jax.device_put, device=dev)
+    else:
+        put = jnp.asarray
+    out = sw_band_score_device(put(qp), put(sp), put(dr),
+                               put(np.asarray(subst_ext8)), D,
+                               gap_first, gap_extend, interpret)
+    return np.asarray(out)[:B]
+
+
+# ---------------------------------------------------------------------------
+# Exact scalar reference (tests)
+# ---------------------------------------------------------------------------
+
+
+def sw_band_reference(q, s, D: int, subst, gap_first: int,
+                      gap_extend: int) -> int:
+    """Naive banded local affine SW: only cells with j - i in [0, D]
+    (0-based char indices) exist; out-of-band neighbors are -inf."""
+    NEG = -(2 ** 24)
+    M, N = len(q), len(s)
+    H = np.zeros((M + 1, N + 1), dtype=np.int64)
+    E = np.full((M + 1, N + 1), NEG, dtype=np.int64)
+    F = np.full((M + 1, N + 1), NEG, dtype=np.int64)
+    best = 0
+    for i in range(1, M + 1):
+        jlo = max(i, 1)          # d = j - i >= 0 (1-based: d = j - i)
+        jhi = min(i + D, N)
+        for j in range(jlo, jhi + 1):
+            d = j - i
+            E[i, j] = max(E[i, j - 1] + gap_extend,
+                          H[i, j - 1] + gap_first) if d > 0 else NEG
+            F[i, j] = max(F[i - 1, j] + gap_extend,
+                          H[i - 1, j] + gap_first) if d < D else NEG
+            H[i, j] = max(0, H[i - 1, j - 1] + subst[q[i - 1], s[j - 1]],
+                          E[i, j], F[i, j])
+            best = max(best, H[i, j])
+    return int(best)

@@ -47,8 +47,13 @@ def extend_matrix(subst: np.ndarray) -> np.ndarray:
     return out
 
 
-def _scan_core(q, s, subst_ext, gap_first, gap_extend, with_dirs: bool):
+def _scan_core(q, s, subst_ext, gap_first, gap_extend, with_dirs: bool,
+               band_d=None):
     """q: (B, M) int32 (PAD-padded); s: (B, N) int32; subst_ext device array.
+
+    band_d: optional (B,) int32 per-row diagonal band sizes — restricts
+    the DP to cells with j - i in [0, band_d[b]] (0-based chars), the
+    banded semantics shared with ops/sw_band.py; None = full rectangle.
 
     Returns (best, best_i, best_j[, dirs]) where best_i/best_j are 1-based
     inclusive end coordinates of the best cell, and dirs is
@@ -88,12 +93,17 @@ def _scan_core(q, s, subst_ext, gap_first, gap_extend, with_dirs: bool):
         diag = H2s + sub
 
         valid = (i_idx >= 1) & (i_idx <= M) & (j_of_i >= 1) & (j_of_i <= N)
-        E = jnp.where(valid[None, :], E, NEG)
-        F = jnp.where(valid[None, :], F, NEG)
-        diag = jnp.where(valid[None, :], diag, NEG)
+        valid = valid[None, :]
+        if band_d is not None:
+            # 0-based char diagonal: (j-1) - (i-1) = d - 2*i
+            bdiag = (d - 2 * i_idx)[None, :]
+            valid = valid & (bdiag >= 0) & (bdiag <= band_d[:, None])
+        E = jnp.where(valid, E, NEG)
+        F = jnp.where(valid, F, NEG)
+        diag = jnp.where(valid, diag, NEG)
 
         H = jnp.maximum(jnp.maximum(diag, 0), jnp.maximum(E, F))
-        H = jnp.where(valid[None, :], H, 0)
+        H = jnp.where(valid, H, 0)
 
         # best-cell tracking: first maximum in (d, i) scan order
         row_best_i = jnp.argmax(H, axis=1).astype(jnp.int32)  # first max
@@ -135,16 +145,18 @@ def _scan_core(q, s, subst_ext, gap_first, gap_extend, with_dirs: bool):
 
 
 @functools.partial(jax.jit, static_argnames=())
-def sw_score_batch(q, s, subst_ext, gap_first, gap_extend):
+def sw_score_batch(q, s, subst_ext, gap_first, gap_extend, band_d=None):
     """Score-only pass.  Returns (best, best_i, best_j); best_i/best_j are
     1-based inclusive coordinates of the optimum cell."""
-    return _scan_core(q, s, subst_ext, gap_first, gap_extend, with_dirs=False)
+    return _scan_core(q, s, subst_ext, gap_first, gap_extend,
+                      with_dirs=False, band_d=band_d)
 
 
 @functools.partial(jax.jit, static_argnames=())
-def sw_align_batch(q, s, subst_ext, gap_first, gap_extend):
+def sw_align_batch(q, s, subst_ext, gap_first, gap_extend, band_d=None):
     """Direction-emitting pass for traceback."""
-    return _scan_core(q, s, subst_ext, gap_first, gap_extend, with_dirs=True)
+    return _scan_core(q, s, subst_ext, gap_first, gap_extend,
+                      with_dirs=True, band_d=band_d)
 
 
 def traceback(dirs: np.ndarray, b: int, bi: int, bj: int):

@@ -49,7 +49,15 @@ def band_size(qlen: int | np.ndarray):
 
 @dataclasses.dataclass
 class MatchBatch:
-    """Columnar match arrays (frame-level ids, trans-space coordinates)."""
+    """Columnar match arrays (frame-level ids, trans-space coordinates).
+
+    ``d_lo``/``d_hi`` (set by :func:`widen_and_merge`) are the extension
+    band in absolute diagonals (subjectPos - queryPos): the banded SW
+    semantics restrict extension to cells on diagonals in [d_lo, d_hi] —
+    the band the reference's widener *intended* but could not enforce
+    (search_algo.hpp:1102, search_misc.hpp:46-50).  Bands are per-match
+    state so results are independent of batching/sharding/grouping.
+    """
 
     qry_id: np.ndarray    # frame-level query id (within batch: q*F + f)
     subj_id: np.ndarray   # frame-level subject id (global)
@@ -57,32 +65,44 @@ class MatchBatch:
     qry_end: np.ndarray
     subj_start: np.ndarray
     subj_end: np.ndarray
+    d_lo: np.ndarray | None = None
+    d_hi: np.ndarray | None = None
 
     def __len__(self):
         return len(self.qry_id)
 
     def take(self, idx):
-        return MatchBatch(*(a[idx] for a in self._arrays()))
+        return MatchBatch(*(None if a is None else a[idx]
+                            for a in self._arrays()))
 
     def _arrays(self):
         return (self.qry_id, self.subj_id, self.qry_start, self.qry_end,
-                self.subj_start, self.subj_end)
+                self.subj_start, self.subj_end, self.d_lo, self.d_hi)
 
 
 def widen_and_merge(m: MatchBatch, q_lens: np.ndarray, s_lens: np.ndarray,
                     stats=None) -> MatchBatch:
-    """_widenMatch + _widenAndPreprocessMatches (exact port, vectorized)."""
+    """_widenMatch + _widenAndPreprocessMatches (exact port, vectorized),
+    plus the extension-band computation: each seed's band is its seed
+    diagonal +- the sqrt-band margin; merged matches union their seeds'
+    bands."""
     if len(m) == 0:
         return m
     qlen = q_lens[m.qry_id]
     slen = s_lens[m.subj_id]
+
+    # extension band around the seed diagonal (clamped to real cells)
+    c = m.subj_start - m.qry_start
+    band = band_size(qlen)
+    d_lo = np.maximum(c - band, 1 - qlen)
+    d_hi = np.minimum(c + band, slen - 1)
+    d_hi = np.maximum(d_hi, d_lo)
 
     # move sStart left to cover the query prefix
     subj_start = np.where(m.subj_start < m.qry_start, 0,
                           m.subj_start - m.qry_start)
     qry_start = np.zeros_like(m.qry_start)
     qry_end = qlen.astype(m.qry_end.dtype)
-    band = band_size(qlen)
     subj_end = np.minimum(subj_start + qlen + band, slen)
     subj_start = np.where(band < subj_start, subj_start - band, 0)
 
@@ -92,14 +112,21 @@ def widen_and_merge(m: MatchBatch, q_lens: np.ndarray, s_lens: np.ndarray,
     sid = m.subj_id[order]
     qs, qe = qry_start[order], qry_end[order]
     ss_, se = subj_start[order], subj_end[order]
+    dlo, dhi = d_lo[order], d_hi[order]
 
     before = len(qid)
+    if stats is not None and before > 1:
+        # merge-pass events (pass-1 condition evaluated on the pre-merge
+        # rows is exact: the cascade never touches the values a later
+        # step's condition reads) — the hitsMerged funnel counter
+        same = (qid[:-1] == qid[1:]) & (sid[:-1] == sid[1:])
+        stats.hits_merged += int((same & (se[:-1] >= ss_[1:])).sum())
     from .. import native
     if native.get_lib() is not None:
         arrs = [np.ascontiguousarray(a, dtype=np.int64)
-                for a in (qid, sid, qs, qe, ss_, se)]
+                for a in (qid, sid, qs, qe, ss_, se, dlo, dhi)]
         keep = native.merge_passes(*arrs)
-        qid, sid, qs, qe, ss_, se = arrs
+        qid, sid, qs, qe, ss_, se, dlo, dhi = arrs
     else:
         # pairwise merge left->right (search_algo.hpp:1148-1158): same pair
         # and l.subjEnd >= r.subjStart
@@ -109,6 +136,8 @@ def widen_and_merge(m: MatchBatch, q_lens: np.ndarray, s_lens: np.ndarray,
                     and se[i] >= ss_[i + 1]:
                 se[i] = se[i + 1]
                 ss_[i + 1] = ss_[i]
+                dlo[i] = dlo[i + 1] = min(dlo[i], dlo[i + 1])
+                dhi[i] = dhi[i + 1] = max(dhi[i], dhi[i + 1])
         # pairwise swallow right->left (:1160-1169):
         # r.subjStart < l.subjEnd -> l = r
         for i in range(len(qid) - 2, -1, -1):
@@ -116,6 +145,8 @@ def widen_and_merge(m: MatchBatch, q_lens: np.ndarray, s_lens: np.ndarray,
                     and ss_[i + 1] < se[i]:
                 qs[i], qe[i] = qs[i + 1], qe[i + 1]
                 ss_[i], se[i] = ss_[i + 1], se[i + 1]
+                dlo[i] = min(dlo[i], dlo[i + 1])
+                dhi[i] = max(dhi[i], dhi[i + 1])
         # unique
         rows = np.stack([qid, sid, qs, qe, ss_, se], axis=1)
         keep = np.ones(len(qid), dtype=bool)
@@ -123,7 +154,7 @@ def widen_and_merge(m: MatchBatch, q_lens: np.ndarray, s_lens: np.ndarray,
     if stats is not None:
         stats.hits_duplicate += int(before - keep.sum())
     return MatchBatch(qid[keep], sid[keep], qs[keep], qe[keep],
-                      ss_[keep], se[keep])
+                      ss_[keep], se[keep], dlo[keep], dhi[keep])
 
 
 _BUCKETS = [16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
@@ -135,6 +166,20 @@ def _bucket(n: int) -> int:
         if n <= b:
             return b
     return int(n)
+
+
+# band sizes bucket at the sublane granularity the kernel pads to (8),
+# coarsening for wide (merged) bands — band width multiplies kernel cost
+# directly, so tight buckets matter more here than for query lengths
+_D_BUCKETS = [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 128, 160, 192, 256,
+              320, 384, 512, 768, 1024]
+
+
+def _bucket_d(n: int) -> int:
+    for b in _D_BUCKETS:
+        if n <= b:
+            return b
+    return int(-(-n // 8) * 8)
 
 
 def sw_extend_scores(m: MatchBatch, q_frames: list[np.ndarray],
@@ -168,6 +213,31 @@ class SubjectWindows:
         o = int(self.offsets[subj_id])
         return self.concat[o + start : o + end]
 
+    def window_virtual(self, subj_id: int, start: int, length: int,
+                       pad_rank: int) -> np.ndarray:
+        """Virtual extension window: subject positions [start, start+length)
+        where out-of-subject positions are PAD rank.  ``start`` may be
+        negative (band poking left of the subject) — the banded extension
+        windows are [d_lo, d_hi + qlen) in subject coordinates."""
+        o = int(self.offsets[subj_id])
+        slen = int(self.offsets[subj_id + 1]) - o
+        out = np.full(length, pad_rank, dtype=np.int32)
+        lo = max(start, 0)
+        hi = min(start + length, slen)
+        if hi > lo:
+            out[lo - start : hi - start] = self.concat[o + lo : o + hi]
+        return out
+
+
+def _ext_geometry(m: MatchBatch):
+    """Banded extension-window geometry per match: window start =
+    d_lo (subject coords, may poke outside the subject -> PAD), window
+    length = qlen + D, band [0, D] in window coordinates."""
+    qlen = (m.qry_end - m.qry_start).astype(np.int64)
+    d_row = (m.d_hi - m.d_lo).astype(np.int64)
+    wlen = qlen + d_row
+    return qlen, d_row, wlen
+
 
 def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
                   gap_first, gap_extend, bs_split, with_trace):
@@ -177,56 +247,48 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
     if n == 0:
         return scores, traces
 
+    pad = subst_ext_fwd.shape[0] - 1  # PAD rank
+    qlen, d_row, wlen = _ext_geometry(m)
+
+    def q_of(i):
+        return q_frames[m.qry_id[i]][m.qry_start[i]:m.qry_end[i]]
+
+    def s_of(i):
+        return s_window.window_virtual(int(m.subj_id[i]), int(m.d_lo[i]),
+                                       int(wlen[i]), pad)
+
     from .. import native
-    if not with_trace and _score_kernel() == "native" \
-            and native.get_lib() is not None:
-        # CPU backends: score pass on the host (OpenMP), no padding needed
-        q_list = [q_frames[m.qry_id[i]][m.qry_start[i]:m.qry_end[i]]
-                  for i in range(n)]
-        s_list = [s_window.window(int(m.subj_id[i]), int(m.subj_start[i]),
-                                  int(m.subj_end[i])) for i in range(n)]
+    use_native = native.get_lib() is not None
+    if use_native and (with_trace or _score_kernel() == "native"):
+        # host path (OpenMP C++, banded, ragged): the traceback pass
+        # (search_algo.hpp:1296 equivalent) or the score pass on CPU
+        # backends.  Identical banded semantics to the device kernels.
+        q_list = [q_of(i) for i in range(n)]
+        s_list = [s_of(i) for i in range(n)]
         rev = (np.asarray(m.subj_id) % 2 == 1).astype(np.uint8) \
             if bs_split else None
-        scores = native.sw_score_batch(
-            q_list, s_list, np.asarray(subst_ext_fwd, dtype=np.int32),
-            gap_first, gap_extend,
-            subst_rev=(np.asarray(subst_ext_rev, dtype=np.int32)
-                       if bs_split else None),
-            use_rev=rev)
-        return scores, traces
+        args = (q_list, s_list, np.asarray(subst_ext_fwd, dtype=np.int32),
+                gap_first, gap_extend)
+        kw = dict(subst_rev=(np.asarray(subst_ext_rev, dtype=np.int32)
+                             if bs_split else None),
+                  use_rev=rev, band=d_row.astype(np.int32))
+        if with_trace:
+            return native.sw_traceback_batch(*args, **kw)
+        return native.sw_score_batch(*args, **kw), traces
 
-    if with_trace:
-        # traceback pass over the few survivors: native C++ host DP
-        # (search_algo.hpp:1296 equivalent); identical semantics to the
-        # device/XLA path, without shipping direction matrices off-device
-        if native.get_lib() is not None:
-            q_list = [q_frames[m.qry_id[i]][m.qry_start[i]:m.qry_end[i]]
-                      for i in range(n)]
-            s_list = [s_window.window(int(m.subj_id[i]), int(m.subj_start[i]),
-                                      int(m.subj_end[i])) for i in range(n)]
-            rev = (np.asarray(m.subj_id) % 2 == 1).astype(np.uint8) \
-                if bs_split else None
-            return native.sw_traceback_batch(
-                q_list, s_list, np.asarray(subst_ext_fwd, dtype=np.int32),
-                gap_first, gap_extend,
-                subst_rev=(np.asarray(subst_ext_rev, dtype=np.int32)
-                           if bs_split else None),
-                use_rev=rev)
-
-    pad = subst_ext_fwd.shape[0] - 1  # PAD rank
-    qlen = (m.qry_end - m.qry_start).astype(np.int64)
-    slen = (m.subj_end - m.subj_start).astype(np.int64)
     qb = np.array([_bucket(x) for x in qlen])
-    sb = np.array([_bucket(x) for x in slen])
+    db = np.array([_bucket_d(x) for x in d_row])
     # bisulfite: odd subject frames use the reverse matrix
     rev = (m.subj_id % 2 == 1) if bs_split else np.zeros(n, dtype=bool)
 
     group_keys = {}
     for i in range(n):
-        group_keys.setdefault((int(qb[i]), int(sb[i]), bool(rev[i])), []).append(i)
+        group_keys.setdefault((int(qb[i]), int(db[i]), bool(rev[i])),
+                              []).append(i)
 
     use_pallas = not with_trace and _use_pallas()
     if use_pallas:
+        from ..ops import sw_band
         e8_fwd = sw_pallas.ext8_from_ext32(subst_ext_fwd)
         e8_rev = sw_pallas.ext8_from_ext32(subst_ext_rev)
         dev_fwd = dev_rev = None
@@ -234,20 +296,21 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
         dev_fwd = jnp.asarray(subst_ext_fwd)
         dev_rev = jnp.asarray(subst_ext_rev)
 
-    for (qbk, sbk, r), idxs in group_keys.items():
+    for (qbk, dbk, r), idxs in group_keys.items():
         B = len(idxs)
+        sbk = qbk + dbk
         qarr = np.full((B, qbk), pad, dtype=np.int32)
         sarr = np.full((B, sbk), pad, dtype=np.int32)
+        darr = np.zeros(B, dtype=np.int32)
         for bi, i in enumerate(idxs):
-            qf = q_frames[m.qry_id[i]]
-            qarr[bi, : qlen[i]] = qf[m.qry_start[i] : m.qry_end[i]]
-            sw = s_window.window(int(m.subj_id[i]), int(m.subj_start[i]),
-                                 int(m.subj_end[i]))
-            sarr[bi, : slen[i]] = sw
+            qarr[bi, : qlen[i]] = q_of(i)
+            sarr[bi, : wlen[i]] = s_of(i)
+            darr[bi] = d_row[i]
         if with_trace:
             mat = dev_rev if r else dev_fwd
             best, bi_, bj_, dirs = sw_xla.sw_align_batch(
-                jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first, gap_extend)
+                jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first,
+                gap_extend, band_d=jnp.asarray(darr))
             best, bi_, bj_ = map(np.asarray, (best, bi_, bj_))
             dirs = np.asarray(dirs)
             for bi2, i in enumerate(idxs):
@@ -256,26 +319,15 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
                     q0, s0, ops = sw_xla.traceback(
                         dirs, bi2, int(bi_[bi2]), int(bj_[bi2]))
                     traces[i] = (q0, s0, ops)
-        elif use_pallas and qbk <= sw_pallas.M_MAX:
-            scores[idxs] = sw_pallas.sw_score_pallas(
-                qarr, sarr, e8_rev if r else e8_fwd, gap_first, gap_extend)
-        elif native.get_lib() is not None:
-            # host fallback for queries too long for the Pallas kernel's
-            # VMEM budget (far faster than the XLA scan kernel)
-            q_list = [q_frames[m.qry_id[i]][m.qry_start[i]:m.qry_end[i]]
-                      for i in idxs]
-            s_list = [s_window.window(int(m.subj_id[i]),
-                                      int(m.subj_start[i]),
-                                      int(m.subj_end[i])) for i in idxs]
-            mat = np.asarray(subst_ext_rev if r else subst_ext_fwd,
-                             dtype=np.int32)
-            scores[idxs] = native.sw_score_batch(
-                q_list, s_list, mat, gap_first, gap_extend)
+        elif use_pallas:
+            scores[idxs] = sw_band.sw_band_score_pallas(
+                qarr, sarr, darr, e8_rev if r else e8_fwd,
+                gap_first, gap_extend)
         else:
-            mat = jnp.asarray(subst_ext_rev if r else subst_ext_fwd)
+            mat = dev_rev if r else dev_fwd
             best, _, _ = sw_xla.sw_score_batch(
                 jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first,
-                gap_extend)
+                gap_extend, band_d=jnp.asarray(darr))
             scores[idxs] = np.asarray(best)
     return scores, traces
 
@@ -289,61 +341,61 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("qbk", "sbk", "gap_first",
+@functools.partial(jax.jit, static_argnames=("N", "D", "gap_first",
                                              "gap_extend"))
-def _device_score_bucket(trans_q, trans_sbj, sbj_offsets,
-                         qry_id, qry_start, qry_len, subj_id, subj_start,
-                         subj_len, subst_ext8, qbk, sbk, gap_first,
-                         gap_extend):
-    from ..ops import sw_pallas
+def _device_score_bucket(trans_q, trans_sbj, sbj_offsets, sbj_lens,
+                         qry_id, qry_start, qry_len, subj_id, d_lo,
+                         d_row, subst_ext8, N, D, gap_first, gap_extend):
+    """One banded bucket, fully on device: gather the query rows and the
+    VIRTUAL subject windows (start d_lo, length qlen + d_row; positions
+    outside the subject -> PAD), then run the banded Pallas kernel."""
+    from ..ops import sw_band
 
     pad = subst_ext8.shape[0] - 1
-    B = qry_id.shape[0]
-    iq = jnp.arange(qbk, dtype=jnp.int32)
+    iq = jnp.arange(N, dtype=jnp.int32)
     qidx = qry_start[:, None] + iq[None, :]
     qwin = trans_q[jnp.clip(qry_id, 0, trans_q.shape[0] - 1)[:, None],
                    jnp.clip(qidx, 0, trans_q.shape[1] - 1)]
     qwin = jnp.where(iq[None, :] < qry_len[:, None], qwin, pad)
 
-    js = jnp.arange(sbk, dtype=jnp.int32)
-    sabs = sbj_offsets[jnp.clip(subj_id, 0, sbj_offsets.shape[0] - 1)][:, None] \
-        + subj_start[:, None] + js[None, :]
-    swin = trans_sbj[jnp.clip(sabs, 0, trans_sbj.shape[0] - 1)].astype(jnp.int32)
-    swin = jnp.where(js[None, :] < subj_len[:, None], swin, pad)
+    sid = jnp.clip(subj_id, 0, sbj_offsets.shape[0] - 1)
+    spos = d_lo[:, None] + iq[None, :]           # subject coords
+    sval = (spos >= 0) & (spos < sbj_lens[sid][:, None]) \
+        & (iq[None, :] < (qry_len + d_row)[:, None])
+    sabs = sbj_offsets[sid][:, None] + spos
+    swin = trans_sbj[jnp.clip(sabs, 0, trans_sbj.shape[0] - 1)] \
+        .astype(jnp.int32)
+    swin = jnp.where(sval, swin, pad)
 
-    return sw_pallas.sw_score_device(qwin.astype(jnp.int32), swin,
-                                     subst_ext8, gap_first, gap_extend)
+    return sw_band.sw_band_score_device(qwin.astype(jnp.int32), swin,
+                                        d_row, subst_ext8, D,
+                                        gap_first, gap_extend)
 
 
 def sw_scores_device(m: MatchBatch, d_trans_q, d_trans_sbj, d_sbj_offsets,
-                     e8_fwd, e8_rev, gap_first, gap_extend,
+                     d_sbj_lens, e8_fwd, e8_rev, gap_first, gap_extend,
                      bs_split: bool) -> np.ndarray | None:
-    """Pass-1 scores with device-side window gathering.  Matches are
-    bucketed by padded shape class like the host path; each bucket is one
-    fused dispatch (gather -> substitution image -> Pallas DP)."""
-    from ..ops import sw_pallas
+    """Pass-1 banded scores with device-side window gathering.  Matches
+    are bucketed by padded (qlen, band) shape class like the host path;
+    each bucket is one fused dispatch (gather -> sheared band image ->
+    banded Pallas DP)."""
+    from ..ops import sw_band
 
     n = len(m)
     scores = np.zeros(n, dtype=np.int64)
     if n == 0:
         return scores
-    qlen = (m.qry_end - m.qry_start).astype(np.int64)
-    slen = (m.subj_end - m.subj_start).astype(np.int64)
-    if qlen.max() > sw_pallas.M_MAX:
-        return None   # caller falls back to the bucketed host path
+    qlen, d_row, wlen = _ext_geometry(m)
     rev = (m.subj_id % 2 == 1) if bs_split else np.zeros(n, dtype=bool)
     group_keys: dict = {}
     for i in range(n):
         group_keys.setdefault(
-            (_bucket(int(qlen[i])), _bucket(int(slen[i])), bool(rev[i])),
+            (_bucket(int(qlen[i])), _bucket_d(int(d_row[i])), bool(rev[i])),
             []).append(i)
-    for (qbk, sbk, r), idxs in group_keys.items():
+    for (qbk, dbk, r), idxs in group_keys.items():
         idxs = np.asarray(idxs)
-        BT = sw_pallas.batch_tile(max(sw_pallas._ceil(qbk, 128), 128))
-        Bp = sw_pallas._ceil(len(idxs), BT)
-        sbkp = sw_pallas._ceil(
-            sbk, sw_pallas._chunk_cols(max(sw_pallas._ceil(qbk, 128), 128),
-                                       BT))
+        N, W, BTL, _, _ = sw_band._plan(qbk + dbk, dbk)
+        Bp = sw_band._ceil(len(idxs), BTL)
 
         def pad_i32(a, fill=0):
             out = np.full(Bp, fill, dtype=np.int32)
@@ -351,12 +403,10 @@ def sw_scores_device(m: MatchBatch, d_trans_q, d_trans_sbj, d_sbj_offsets,
             return jnp.asarray(out)
 
         out = _device_score_bucket(
-            d_trans_q, d_trans_sbj, d_sbj_offsets,
+            d_trans_q, d_trans_sbj, d_sbj_offsets, d_sbj_lens,
             pad_i32(m.qry_id), pad_i32(m.qry_start), pad_i32(qlen),
-            pad_i32(m.subj_id), pad_i32(m.subj_start),
-            pad_i32(slen, fill=-1),
+            pad_i32(m.subj_id), pad_i32(m.d_lo), pad_i32(d_row),
             jnp.asarray(e8_rev if r else e8_fwd),
-            max(sw_pallas._ceil(qbk, 128), 128), sbkp,
-            int(gap_first), int(gap_extend))
+            N, dbk, int(gap_first), int(gap_extend))
         scores[idxs] = np.asarray(out)[:len(idxs)]
     return scores

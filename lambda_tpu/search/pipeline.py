@@ -126,7 +126,7 @@ class SearchContext:
             self.d_keys = jnp.asarray(idx.kmer.keys)
             self.d_pos = jnp.asarray(idx.kmer.pos.astype(np.int32))
             self.d_frame = jnp.asarray(idx.kmer.frame.astype(np.int32))
-            self.d_sbj_lens = jnp.asarray(idx.trans_lengths.astype(np.int32))
+        self.d_sbj_lens = jnp.asarray(idx.trans_lengths.astype(np.int32))
         self.d_sbj_offsets = jnp.asarray(idx.trans_offsets[:-1].astype(np.int32))
         self.d_trans_sbj = jnp.asarray(idx.trans_concat.astype(np.int8))
 
@@ -376,8 +376,10 @@ class SearchContext:
         red = fr.reduce_frames(trans, idx.trans_alph, idx.red_alph)
         G = len(trans)
 
-        slot_frame, slot_begin, slot_rem, T = seeding.compute_seed_slots(
-            trans, F, self.unknown_rank, cfg)
+        slot_frame, slot_begin, slot_rem, T, sched_st = \
+            seeding.compute_seed_slots(trans, F, self.unknown_rank, cfg)
+        stats.hits_masked += sched_st[0]
+        stats.hits_too_short += sched_st[1]
         # bucket the slot count as well
         Tb = extend._bucket(T)
         pad_t = Tb - T
@@ -471,7 +473,8 @@ class SearchContext:
                 # long for the kernel's VMEM budget
                 scores = extend.sw_scores_device(
                     m, d_trans_q, self.d_trans_sbj, self.d_sbj_offsets,
-                    self.e8_fwd, self.e8_rev, gf, ge, self.bs_mode)
+                    self.d_sbj_lens, self.e8_fwd, self.e8_rev, gf, ge,
+                    self.bs_mode)
             if scores is None:
                 scores, _ = extend._run_bucketed(
                     m, trans, self.s_windows, self.sw_fwd, self.sw_rev,
@@ -526,8 +529,10 @@ class SearchContext:
                 s_length=int(self.s_orig_lens[n_s]),
                 q_start=int(m2.qry_start[i]) + q0,
                 q_end=int(m2.qry_start[i]) + q0 + consumed_q,
-                s_start=int(m2.subj_start[i]) + s0,
-                s_end=int(m2.subj_start[i]) + s0 + consumed_s,
+                # extension windows are virtual: origin = d_lo (band low
+                # diagonal, subject coordinates)
+                s_start=int(m2.d_lo[i]) + s0,
+                s_end=int(m2.d_lo[i]) + s0 + consumed_s,
                 raw_score=int(scores2b[i]),
                 ops=ops,
                 qry_frame_id=qry_id,

@@ -99,17 +99,17 @@ def compute_alignment_stats(bm: BlastMatch, q_frame: np.ndarray,
     for op, run in bm.ops:
         length += run
         if op == "M":
-            for r in range(run):
-                c0 = int(q_frame[i + r])
-                c1 = int(s_frame[j + r])
-                sc = int(subst[c0, c1])
-                if bs_mode:
-                    is_match = sc == int(subst[c0, c0])
-                else:
-                    is_match = c0 == c1
-                matches += is_match
-                mismatches += not is_match
-                positives += sc > 0
+            c0 = np.asarray(q_frame[i : i + run], dtype=np.int64)
+            c1 = np.asarray(s_frame[j : j + run], dtype=np.int64)
+            sc = subst[c0, c1]
+            if bs_mode:
+                is_match = sc == subst[c0, c0]
+            else:
+                is_match = c0 == c1
+            nm = int(is_match.sum())
+            matches += nm
+            mismatches += run - nm
+            positives += int((sc > 0).sum())
             i += run
             j += run
         elif op == "D":  # gap in query row

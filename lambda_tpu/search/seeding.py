@@ -79,14 +79,23 @@ def compute_seed_slots(trans_frames: list[np.ndarray], qry_num_frames: int,
                        unknown_rank: int, cfg: SeedConfig):
     """Host-side seed schedule.
 
-    Returns (slot_frame, slot_begin, slot_rem, T) arrays of shape (Q, T):
-    per original query, the ordered list of (frame row in batch, seedBegin)
-    plus the remaining-seed estimate used by desiredOccs
-    (search_algo.hpp:695-699).  Invalid slots have frame -1.
+    Returns (slot_frame, slot_begin, slot_rem, T, sched_stats): arrays of
+    shape (Q, T): per original query, the ordered list of (frame row in
+    batch, seedBegin) plus the remaining-seed estimate used by
+    desiredOccs (search_algo.hpp:695-699).  Invalid slots have frame -1.
+    sched_stats = (masked_starts, frames_too_short): seed starts skipped
+    for UNKNOWN/homopolymer characters (search_algo.hpp:652-655) and
+    query frames shorter than the seed length (:638) — these feed the
+    hitsMasked / hitsTooShort funnel counters (the reference declares
+    them, search_datastructures.hpp:96-97, but its lambda3 code paths
+    never increment them; here they count the analogous schedule-time
+    suppressions).
     """
     k, off = cfg.seed_length, cfg.seed_offset
     Q = len(trans_frames) // qry_num_frames
     per_query: list[list[tuple[int, int, int]]] = [[] for _ in range(Q)]
+    masked_starts = 0
+    frames_too_short = 0
 
     needles_sum = np.zeros(Q, dtype=np.int64)
     for g, f in enumerate(trans_frames):
@@ -103,6 +112,8 @@ def compute_seed_slots(trans_frames: list[np.ndarray], qry_num_frames: int,
                 # needlesPos update too; when the FIRST frame is short it
                 # even skips the per-query reset (a reference bug we do NOT
                 # replicate — it only perturbs the desiredOccs heuristic)
+                if size > 0:
+                    frames_too_short += 1
                 continue
             # bad position: UNKNOWN or equal to the next char
             bad = np.zeros(size, dtype=bool)
@@ -112,6 +123,7 @@ def compute_seed_slots(trans_frames: list[np.ndarray], qry_num_frames: int,
             while True:
                 while pos < last and bad[pos]:
                     pos += 1
+                    masked_starts += 1
                 if pos > last:
                     break
                 rem = max((int(needles_sum[q]) - needles_pos - pos) // off, 1)
@@ -129,7 +141,8 @@ def compute_seed_slots(trans_frames: list[np.ndarray], qry_num_frames: int,
             slot_frame[q, t] = g
             slot_begin[q, t] = pos
             slot_rem[q, t] = rem
-    return slot_frame, slot_begin, slot_rem, T
+    return slot_frame, slot_begin, slot_rem, T, (masked_starts,
+                                                 frames_too_short)
 
 
 def make_seeder(cfg: SeedConfig):

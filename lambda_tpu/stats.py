@@ -68,6 +68,18 @@ class StatsHolder:
             ]:
                 rem -= n
                 print(f" - {label:<27}{n:>12} = {rem}")
+            # info lines (not part of the subtraction funnel: masked /
+            # too-short count schedule-time suppressions, merged counts
+            # window unions — both happen BEFORE/DURING seeding+merge, so
+            # their units are not post-seeding hits; the reference
+            # declares these counters but never increments them in
+            # lambda3, search_datastructures.hpp:95-97)
+            if self.hits_masked:
+                print(f"   [masked seed starts:        {self.hits_masked}]")
+            if self.hits_too_short:
+                print(f"   [query frames too short:    {self.hits_too_short}]")
+            if self.hits_merged:
+                print(f"   [windows merged:            {self.hits_merged}]")
             if self.cursors_overflow or self.hits_overflow:
                 print(f"   [buffer overflows: cursors={self.cursors_overflow} "
                       f"hits={self.hits_overflow}]")

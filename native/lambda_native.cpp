@@ -47,8 +47,14 @@ static const int32_t NEG = -(1 << 24);
 
 // Align one pair; returns score.  ops buffer receives single-char ops
 // from alignment END to START (caller reverses); *ops_len set.
+// band: diagonal band size — only cells with (j - i) in [0, band]
+// (1-based DP indices; equals the 0-based char-diagonal) are computed,
+// the shared banded semantics of ops/sw_band.py.  band >= slen is
+// effectively unbanded.  Out-of-band neighbor reads hit the untouched
+// initial values (Hrow 0 / Frow NEG), which are exactly the banded
+// boundary conditions.
 static int32_t sw_one(const int32_t* q, int32_t qlen,
-                      const int32_t* s, int32_t slen,
+                      const int32_t* s, int32_t slen, int32_t band,
                       const int32_t* subst, int32_t alph,
                       int32_t gap_first, int32_t gap_extend,
                       int32_t* q0_out, int32_t* s0_out,
@@ -56,6 +62,7 @@ static int32_t sw_one(const int32_t* q, int32_t qlen,
                       uint8_t* ops, int32_t ops_cap, int32_t* ops_len) {
     // only the 1-byte direction matrix is O(qlen*slen); H/E/F roll by row
     const int64_t W = (int64_t)slen + 1;
+    const bool banded = band >= 0;
     std::vector<int32_t> Hrow(W, 0), Frow(W, NEG);
     std::vector<uint8_t> D((int64_t)(qlen + 1) * W, 0);
 
@@ -64,10 +71,13 @@ static int32_t sw_one(const int32_t* q, int32_t qlen,
 
     for (int32_t i = 1; i <= qlen; ++i) {
         const int32_t* srow = subst + (int64_t)q[i - 1] * alph;
-        int32_t h_diag = Hrow[0];   // H(i-1, j-1), starts at H(i-1, 0) == 0
-        int32_t h_left = 0;         // H(i, j-1), H(i, 0) == 0
-        int32_t e_left = NEG;       // E(i, j-1), E(i, 0) == -inf
-        for (int32_t j = 1; j <= slen; ++j) {
+        const int32_t jlo = banded ? i : 1;          // d = j - i >= 0
+        const int32_t jhi = banded ? std::min(i + band, slen) : slen;
+        if (jlo > jhi) break;
+        int32_t h_diag = Hrow[jlo - 1];  // H(i-1, jlo-1), in band (d=0)
+        int32_t h_left = 0;         // H(i, jlo-1) out of band: boundary 0
+        int32_t e_left = NEG;       // E(i, jlo-1) out of band: -inf
+        for (int32_t j = jlo; j <= jhi; ++j) {
             int32_t e_ext = e_left + gap_extend;
             int32_t e_opn = h_left + gap_first;
             int32_t e = e_ext >= e_opn ? e_ext : e_opn;
@@ -148,18 +158,23 @@ static int32_t sw_one(const int32_t* q, int32_t qlen,
 }
 
 // Score-only SW (pass 1 CPU fallback): O(qlen) memory, no traceback.
+// band: see sw_one (cells with j - i in [0, band]; band < 0 = unbanded).
 static int32_t sw_score_one(const int32_t* q, int32_t qlen,
-                            const int32_t* s, int32_t slen,
+                            const int32_t* s, int32_t slen, int32_t band,
                             const int32_t* subst, int32_t alph,
                             int32_t gap_first, int32_t gap_extend) {
+    const bool banded = band >= 0;
     std::vector<int32_t> H(qlen + 1, 0), E(qlen + 1, NEG);
     int32_t best = 0;
     for (int32_t j = 1; j <= slen; ++j) {
         const int32_t* scol = subst + (int64_t)s[j - 1];
+        const int32_t ilo = banded ? std::max(1, j - band) : 1;
+        const int32_t ihi = banded ? std::min(qlen, j) : qlen;
+        if (ilo > ihi) continue;
         int32_t f = NEG;
-        int32_t h_diag = H[0];   // H(0, j-1) == 0
-        int32_t h_up = 0;        // H(0, j)   == 0
-        for (int32_t i = 1; i <= qlen; ++i) {
+        int32_t h_diag = H[ilo - 1];  // H(ilo-1, j-1): 0 or fresh at d=band
+        int32_t h_up = 0;   // H(ilo-1, j) is boundary/out-of-band: 0
+        for (int32_t i = ilo; i <= ihi; ++i) {
             int32_t e = E[i] + gap_extend;
             int32_t eo = H[i] + gap_first;
             if (eo > e) e = eo;
@@ -186,6 +201,7 @@ void sw_score_batch_host(const int32_t* q, int32_t q_stride,
                          const int32_t* slen, int32_t B,
                          const int32_t* subst, int32_t alph,
                          const int32_t* subst_rev, const uint8_t* use_rev,
+                         const int32_t* band,
                          int32_t gap_first, int32_t gap_extend,
                          int32_t* score_out) {
 #pragma omp parallel for schedule(dynamic, 8)
@@ -194,6 +210,7 @@ void sw_score_batch_host(const int32_t* q, int32_t q_stride,
             (subst_rev && use_rev && use_rev[b]) ? subst_rev : subst;
         score_out[b] = sw_score_one(q + (int64_t)b * q_stride, qlen[b],
                                     s + (int64_t)b * s_stride, slen[b],
+                                    band ? band[b] : -1,
                                     mat, alph, gap_first, gap_extend);
     }
 }
@@ -208,6 +225,7 @@ void sw_traceback_batch(const int32_t* q, int32_t q_stride,
                         const int32_t* subst, int32_t alph,
                         // bisulfite: optional second matrix + per-row flag
                         const int32_t* subst_rev, const uint8_t* use_rev,
+                        const int32_t* band,
                         int32_t gap_first, int32_t gap_extend,
                         int32_t* score_out, int32_t* q0_out, int32_t* s0_out,
                         int32_t* qe_out, int32_t* se_out,
@@ -221,6 +239,7 @@ void sw_traceback_batch(const int32_t* q, int32_t q_stride,
         int32_t n = 0;
         score_out[b] = sw_one(q + (int64_t)b * q_stride, qlen[b],
                               s + (int64_t)b * s_stride, slen[b],
+                              band ? band[b] : -1,
                               mat, alph, gap_first, gap_extend,
                               &q0_out[b], &s0_out[b], &qe_out[b], &se_out[b],
                               ops, ops_stride, &n);
@@ -301,13 +320,19 @@ void sort_rows_u32(const uint32_t* keys, int64_t P, int32_t words,
 // (and of the Python fallback in search/extend.py).
 // ---------------------------------------------------------------------------
 
+// dlo/dhi: per-match diagonal band (subjectPos - queryPos, absolute;
+// the extension band semantics of ops/sw_band.py).  Merging rows unions
+// their bands so the surviving row's band covers every collapsed seed.
 void merge_passes(int64_t* qid, int64_t* sid, int64_t* qs, int64_t* qe,
-                  int64_t* ss, int64_t* se, uint8_t* keep, int64_t n) {
+                  int64_t* ss, int64_t* se, int64_t* dlo, int64_t* dhi,
+                  uint8_t* keep, int64_t n) {
     for (int64_t i = 0; i + 1 < n; ++i) {
         if (qid[i] == qid[i + 1] && sid[i] == sid[i + 1] &&
             se[i] >= ss[i + 1]) {
             se[i] = se[i + 1];
             ss[i + 1] = ss[i];
+            dlo[i] = dlo[i + 1] = std::min(dlo[i], dlo[i + 1]);
+            dhi[i] = dhi[i + 1] = std::max(dhi[i], dhi[i + 1]);
         }
     }
     for (int64_t i = n - 2; i >= 0; --i) {
@@ -317,6 +342,8 @@ void merge_passes(int64_t* qid, int64_t* sid, int64_t* qs, int64_t* qe,
             qe[i] = qe[i + 1];
             ss[i] = ss[i + 1];
             se[i] = se[i + 1];
+            dlo[i] = std::min(dlo[i], dlo[i + 1]);
+            dhi[i] = std::max(dhi[i], dhi[i + 1]);
         }
     }
     for (int64_t i = 0; i < n; ++i) {

@@ -107,21 +107,27 @@ def test_merge_passes_matches_python():
     qe = np.full(n, 50, dtype=np.int64)
     ss = rng.integers(0, 300, size=n).astype(np.int64)
     se = ss + rng.integers(10, 80, size=n)
+    dlo = ss - rng.integers(0, 9, size=n)
+    dhi = ss + rng.integers(0, 9, size=n)
     order = np.lexsort((se, ss, qe, qs, sid, qid))
-    arrs = [a[order].copy() for a in (qid, sid, qs, qe, ss, se)]
+    arrs = [a[order].copy() for a in (qid, sid, qs, qe, ss, se, dlo, dhi)]
 
-    # python reference passes
+    # python reference passes (incl. band unions)
     p = [a.copy() for a in arrs]
-    pq, psid, pqs, pqe, pss, pse = p
+    pq, psid, pqs, pqe, pss, pse, plo, phi = p
     for i in range(n - 1):
         if pq[i] == pq[i+1] and psid[i] == psid[i+1] and pse[i] >= pss[i+1]:
             pse[i] = pse[i+1]
             pss[i+1] = pss[i]
+            plo[i] = plo[i+1] = min(plo[i], plo[i+1])
+            phi[i] = phi[i+1] = max(phi[i], phi[i+1])
     for i in range(n - 2, -1, -1):
         if pq[i] == pq[i+1] and psid[i] == psid[i+1] and pss[i+1] < pse[i]:
             pqs[i], pqe[i] = pqs[i+1], pqe[i+1]
             pss[i], pse[i] = pss[i+1], pse[i+1]
-    rows = np.stack(p, axis=1)
+            plo[i] = min(plo[i], plo[i+1])
+            phi[i] = max(phi[i], phi[i+1])
+    rows = np.stack(p[:6], axis=1)
     pkeep = np.ones(n, dtype=bool)
     pkeep[1:] = (rows[1:] != rows[:-1]).any(axis=1)
 
@@ -148,28 +154,44 @@ def test_native_score_batch_matches_reference():
 
 
 @needs_native
-def test_long_query_fallback_path(monkeypatch):
-    """Buckets beyond the Pallas M_MAX cap route to the native host
-    scorer with identical results."""
-    from lambda_tpu.ops import sw_pallas
+def test_banded_run_bucketed_backends_agree(monkeypatch):
+    """_run_bucketed's banded score pass: native and XLA backends match
+    the exact banded reference on virtual windows (incl. a window poking
+    left of the subject)."""
+    from lambda_tpu.ops import sw_band
     from lambda_tpu.search import extend
 
-    monkeypatch.setattr(sw_pallas, "M_MAX", 32)   # force the fallback
-    monkeypatch.setenv("LAMBDA_SW_KERNEL", "pallas")
     rng = np.random.default_rng(4)
     A = 6
     subst = rng.integers(-3, 4, size=(A, A)).astype(np.int32)
     np.fill_diagonal(subst, 5)
     ext = sw_xla.extend_matrix(subst)
-    q_frames = [rng.integers(0, A, size=60).astype(np.int32)]
+    q_frames = [rng.integers(0, A, size=60).astype(np.int32),
+                rng.integers(0, A, size=40).astype(np.int32)]
     s_concat = rng.integers(0, A, size=200).astype(np.int32)
     s_concat[80:140] = q_frames[0]
+    s_concat[0:38] = q_frames[1][2:]       # match at subject start
     sw = extend.SubjectWindows(s_concat, np.array([0, 200]))
     m = extend.MatchBatch(
-        qry_id=np.array([0]), subj_id=np.array([0]),
-        qry_start=np.array([0]), qry_end=np.array([60]),
-        subj_start=np.array([60]), subj_end=np.array([160]))
-    scores, _ = extend._run_bucketed(m, q_frames, sw, ext, ext, -7, -2,
-                                     False, with_trace=False)
-    want = sw_xla.sw_reference(q_frames[0], s_concat[60:160], subst, -7, -2)
-    assert scores[0] == want
+        qry_id=np.array([0, 1]), subj_id=np.array([0, 0]),
+        qry_start=np.array([0, 0]), qry_end=np.array([60, 40]),
+        subj_start=np.array([60, 0]), subj_end=np.array([160, 50]),
+        d_lo=np.array([12, -4]), d_hi=np.array([28, 3]))
+    want = []
+    for i in range(2):
+        qf = q_frames[i]
+        D = int(m.d_hi[i] - m.d_lo[i])
+        win = sw.window_virtual(0, int(m.d_lo[i]), len(qf) + D, A)
+        # ext includes the PAD row/col, needed for the virtual pads
+        want.append(sw_band.sw_band_reference(qf, win, D, ext, -7, -2))
+
+    for kern in ("native", "xla"):
+        monkeypatch.setenv("LAMBDA_SW_KERNEL", kern)
+        scores, _ = extend._run_bucketed(m, q_frames, sw, ext, ext, -7, -2,
+                                         False, with_trace=False)
+        assert list(scores) == want, (kern, list(scores), want)
+    # traceback pass agrees on scores too
+    scores2, traces = extend._run_bucketed(m, q_frames, sw, ext, ext, -7, -2,
+                                           False, with_trace=True)
+    assert list(scores2) == want
+    assert traces[0] is not None and traces[1] is not None

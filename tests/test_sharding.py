@@ -103,7 +103,7 @@ def test_sharded_seeder_matches_single_device(n_db):
         n_rows=4096, max_cursors=1024, max_hits=4096)
     _, _, fused = seeding.make_seeder(cfg)
 
-    slot_frame, slot_begin, slot_rem, T = seeding.compute_seed_slots(
+    slot_frame, slot_begin, slot_rem, T, _ = seeding.compute_seed_slots(
         qfs, 1, 99, cfg)
     G = len(qfs)
     Lmax = max(len(f) for f in qfs)
