@@ -46,6 +46,14 @@ NEG32 = -(2 ** 27)
 PAD_SCORE8 = -128
 
 _BTL_CAP = int(os.environ.get("LAMBDA_SWB_BTL", "1024"))
+# kernel layout: 'lane' = batch on sublanes, band on lanes with power-of-2
+# packing (P = 128//Ws alignments per lane register) — the fast layout:
+# its image feeds the kernel through the same cheap major-axis transpose
+# the rectangle kernel uses.  'sublane' = band on sublanes (keeps the
+# image batch-minor; measured 0.6 ms DP but 7.2 ms image/transpose on
+# the flagship shape — kept for A/B).
+_LAYOUT = os.environ.get("LAMBDA_SWB_LAYOUT", "lane")
+_BT_CAP = int(os.environ.get("LAMBDA_SWB_BT", "512"))
 
 
 def _ceil(x: int, m: int) -> int:
@@ -67,15 +75,25 @@ def lane_tile(W: int) -> int:
     return (btl // 128) * 128
 
 
-def _plan(Ns: int, D: int):
+def _plan(Ns: int, D: int, layout: str | None = None):
     """Tile plan for a (window=Ns, band=D) bucket: returns
-    (N, W, BTL, NC, JB) with N a multiple of NC and of JB, NC the
+    (N, W, BROWS, NC, JB) with N a multiple of NC and of JB, NC the
     subject columns per VMEM chunk, JB the image/shear column block
     (O(JB^2) per-block image instead of O(N^2) — the rectangle kernel's
-    M_MAX cliff does not exist here)."""
-    W = band_pad(D)
-    BTL = lane_tile(W)
-    NC = max(2 * 1024 * 1024 // (W * BTL), 8)
+    M_MAX cliff does not exist here).  BROWS is the batch-padding unit
+    (alignment rows per kernel tile); W the per-alignment band width the
+    image is sheared to."""
+    layout = layout or _LAYOUT
+    if layout == "lane":
+        Ws, P, LW, BT = _lane_geometry(D)
+        W = Ws
+        BROWS = BT * P
+        bytes_per_col = BT * LW
+    else:
+        W = band_pad(D)
+        BROWS = lane_tile(W)
+        bytes_per_col = W * BROWS
+    NC = max(2 * 1024 * 1024 // bytes_per_col, 8)
     NC = 1 << int(np.log2(NC))
     N = max(_ceil(Ns, 8), W)
     if NC >= N:
@@ -87,7 +105,7 @@ def _plan(Ns: int, D: int):
     else:
         JB = max(512 // NC, 1) * NC
         N = _ceil(N, JB)
-    return N, W, BTL, NC, JB
+    return N, W, BROWS, NC, JB
 
 
 @functools.partial(jax.jit,
@@ -133,6 +151,163 @@ def _band_image(q, s, subst_ext8, n_tiles, BTL, D, W, N, JB):
     subb = jnp.concatenate(blocks, axis=1) if len(blocks) > 1 else blocks[0]
     subb = subb.reshape(n_tiles, BTL, N, W).transpose(0, 2, 3, 1)
     return subb                                                   # (T,N,W,BTL)
+
+
+def pack_width(D: int) -> int:
+    """Lane-layout band width: smallest power of two >= D+1 (>= 16)."""
+    w = 16
+    while w < D + 1:
+        w *= 2
+    return w
+
+
+def _lane_geometry(D: int):
+    Ws = pack_width(D)
+    P = max(1, 128 // Ws)
+    LW = max(Ws, 128)
+    BT = max(8, min(_BT_CAP, (1 << 20) // (LW * 4) * 2))  # ~2 MB state x3
+    BT = (BT // 8) * 8
+    return Ws, P, LW, BT
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_tiles", "BT", "P", "D", "Ws", "N",
+                                    "JB"))
+def _band_image_lane(q, s, subst_ext8, n_tiles, BT, P, D, Ws, N, JB):
+    """Sheared banded substitution image in LANE layout:
+    (T, N, BT, P*Ws) int8 with row b = ((t*BT + bt)*P + p) on
+    (sublane bt, lane-group p).  Same blocked MXU one-hot + stride-shear
+    as _band_image; the final transpose only swaps MAJOR axes (the
+    pattern the rectangle kernel uses), so it is a cheap block copy —
+    unlike the batch-to-minor transpose the sublane layout needs."""
+    B = q.shape[0]
+    C = subst_ext8.shape[0]
+    iota = jnp.arange(C, dtype=jnp.int32)
+    ohs = (s[:, :, None] == iota).astype(jnp.bfloat16)
+    prof_s = jax.lax.dot_general(
+        ohs, subst_ext8.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.bfloat16)
+    pad_rank = C - 1
+    qpad = jnp.concatenate(
+        [jnp.full((B, D), pad_rank, q.dtype), q], axis=1)
+
+    Mblk = JB + D
+    blocks = []
+    for j0 in range(0, N, JB):
+        qblk = qpad[:, j0 : j0 + Mblk]
+        ohq = (qblk[:, :, None] == iota).astype(jnp.bfloat16)
+        pblk = prof_s[:, j0 : j0 + JB, :]
+        sub = jax.lax.dot_general(
+            pblk, ohq, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.bfloat16)
+        sub = sub.astype(jnp.int8)
+        flat = sub.reshape(B, JB * Mblk)
+        tail = jnp.full((B, JB), PAD_SCORE8, jnp.int8)
+        flat = jnp.concatenate([flat, tail], axis=1)
+        blocks.append(flat.reshape(B, JB, Mblk + 1)[:, :, :Ws])
+    subb = jnp.concatenate(blocks, axis=1) if len(blocks) > 1 else blocks[0]
+    subb = subb.reshape(n_tiles, BT, P, N, Ws).transpose(0, 3, 1, 2, 4)
+    return subb.reshape(n_tiles, N, BT, P * Ws)
+
+
+def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
+                           n_chunks: int, D: int, gap_first: int,
+                           gap_extend: int):
+    """Banded DP, lane layout: per column the band offset w lives on the
+    lane axis (lane % Ws), batch on sublanes, P = LW//Ws alignments per
+    lane register.  Rolls are LANE rolls (the proven-fast primitive of
+    ops/sw_pallas.py); wraparound across pack boundaries is killed by
+    the per-lane additive -inf constants."""
+    neg = NEG32
+    steps = []
+    st = 1
+    while st < Ws:
+        steps.append(st)
+        st *= 2
+
+    def kernel(sub_ref, wmin_ref, out_ref, H_ref, E_ref, best_ref):
+        def roll(x, s):
+            return pltpu.roll(x, shift=s, axis=1)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BT, LW), dimension=1)
+        wloc = lane % Ws
+        ge = jnp.int32(gap_extend)
+        gf = jnp.int32(gap_first)
+        top = wloc == Ws - 1
+        # E/H pull from w+1 (lane+1); top-of-pack has no source
+        ge_c = jnp.where(top, jnp.int32(neg), ge)
+        gf_c = jnp.where(top, jnp.int32(neg), gf)
+        # F init pulls from w-1 (lane-1); bottom-of-pack has no source
+        gf_f = jnp.where(wloc == 0, jnp.int32(neg), gf)
+        c_steps = [jnp.where(wloc < s, jnp.int32(neg),
+                             jnp.int32(max(s * gap_extend, neg)))
+                   for s in steps]
+        in_band = (wloc >= wmin_ref[0, :, :]) & (wloc <= D)
+        neg8 = jnp.int32(PAD_SCORE8)
+
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            H_ref[:] = jnp.zeros((BT, LW), jnp.int32)
+            E_ref[:] = jnp.full((BT, LW), jnp.int32(neg))
+            best_ref[:] = jnp.zeros((BT, LW), jnp.int32)
+
+        def body(j, _):
+            H = H_ref[:]
+            subcol = sub_ref[0, j, :, :].astype(jnp.int32)
+            subcol = jnp.where(in_band, subcol, neg8)
+            E = jnp.maximum(roll(E_ref[:], LW - 1) + ge_c,
+                            roll(H, LW - 1) + gf_c)
+            Htmp = jnp.maximum(jnp.maximum(H + subcol, E), jnp.int32(0))
+            F = roll(Htmp, 1) + gf_f
+            for s, cs in zip(steps, c_steps):
+                F = jnp.maximum(F, roll(F, s) + cs)
+            Hn = jnp.maximum(Htmp, F)
+            H_ref[:] = Hn
+            E_ref[:] = E
+            best_ref[:] = jnp.maximum(best_ref[:], Hn)
+            return 0
+
+        jax.lax.fori_loop(0, NC, body, 0)
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            out_ref[0, :, :] = best_ref[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_tiles", "N", "Ws", "LW", "BT", "NC",
+                                    "D", "gap_first", "gap_extend",
+                                    "interpret"))
+def _score_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
+                     gap_extend, interpret):
+    assert N % NC == 0, (N, NC)
+    n_chunks = N // NC
+    kernel = _make_band_kernel_lane(NC, Ws, LW, BT, n_chunks, D,
+                                    gap_first, gap_extend)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, BT, LW), jnp.int32),
+        grid=(n_tiles, n_chunks),
+        in_specs=[pl.BlockSpec((1, NC, BT, LW), lambda t, c: (t, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, BT, LW), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, BT, LW), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((BT, LW), jnp.int32) for _ in range(3)],
+        interpret=interpret,
+        **({} if interpret else dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024))),
+    )(subb, wmin)
+    # per-row best: reduce each pack's Ws lanes
+    P = LW // Ws
+    return out.reshape(n_tiles, BT, P, Ws).max(axis=3)
 
 
 def _make_band_kernel(NC: int, W: int, BTL: int, n_chunks: int, D: int,
@@ -241,17 +416,28 @@ def sw_band_score_device(q, s, d_rows, subst_ext8, D: int,
                          interpret: bool = False):
     """Device-array variant.  q, s: (B, N) int32 rank arrays on device
     (q PAD-padded beyond qlen, s the virtual window), d_rows: (B,) int32
-    per-row band sizes (<= D), B % BTL == 0, N == pad_cols(N, D).
+    per-row band sizes (<= D), B % BROWS == 0, N == pad_cols(N, D).
     Returns (B,) int32 best in-band local scores."""
     B, N = q.shape
-    Np, W, BTL, NC, JB = _plan(N, D)
+    Np, W, BROWS, NC, JB = _plan(N, D)
     assert Np == N, (N, Np)
-    n_tiles = B // BTL
-    subb = _band_image(q, s, subst_ext8, n_tiles, BTL, D, W, N, JB)
-    wmin = (jnp.int32(D) - d_rows).reshape(n_tiles, 1, BTL)
-    wmin = jnp.broadcast_to(wmin, (n_tiles, 8, BTL))
-    out = _score_band_padded(subb, wmin, n_tiles, N, W, BTL, NC, D,
-                             int(gap_first), int(gap_extend), interpret)
+    n_tiles = B // BROWS
+    wmin1 = jnp.int32(D) - d_rows
+    if _LAYOUT == "lane":
+        Ws, P, LW, BT = _lane_geometry(D)
+        subb = _band_image_lane(q, s, subst_ext8, n_tiles, BT, P, D, Ws,
+                                N, JB)
+        wmin = jnp.broadcast_to(
+            wmin1.reshape(n_tiles, BT, P, 1), (n_tiles, BT, P, Ws)
+        ).reshape(n_tiles, BT, LW)
+        out = _score_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D,
+                               int(gap_first), int(gap_extend), interpret)
+    else:
+        subb = _band_image(q, s, subst_ext8, n_tiles, BROWS, D, W, N, JB)
+        wmin = jnp.broadcast_to(wmin1.reshape(n_tiles, 1, BROWS),
+                                (n_tiles, 8, BROWS))
+        out = _score_band_padded(subb, wmin, n_tiles, N, W, BROWS, NC, D,
+                                 int(gap_first), int(gap_extend), interpret)
     return out.reshape(B)
 
 
@@ -268,8 +454,8 @@ def sw_band_score_pallas(q: np.ndarray, s: np.ndarray, d_rows: np.ndarray,
     Ns = s.shape[1]
     D = int(d_rows.max()) if len(d_rows) else 0
     pad_rank = int(np.asarray(subst_ext8).shape[0]) - 1
-    N, W, BTL, _, _ = _plan(Ns, D)
-    Bp = _ceil(max(B, 1), BTL)
+    N, W, BROWS, _, _ = _plan(Ns, D)
+    Bp = _ceil(max(B, 1), BROWS)
 
     qp = np.full((Bp, N), pad_rank, dtype=np.int32)
     qp[:B, :Mq] = q

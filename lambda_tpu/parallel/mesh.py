@@ -242,9 +242,14 @@ def shard_loaded_index(kmer: KmerIndex, trans_concat: np.ndarray,
     groups = np.array_split(np.arange(n_subj), n_shards)
     frame_global = kmer.frame.astype(np.int64)
     per = []
+    prev_hi = 0
     for g in groups:
-        f_lo = int(g[0]) * fps if len(g) else 0
-        f_hi = (int(g[-1]) + 1) * fps if len(g) else 0
+        # empty shards inherit the running boundary so the per-shard
+        # frame bases stay MONOTONE (the extension pass assigns matches
+        # to shards by searchsorted over these bases)
+        f_lo = int(g[0]) * fps if len(g) else prev_hi
+        f_hi = (int(g[-1]) + 1) * fps if len(g) else prev_hi
+        prev_hi = f_hi
         mask = (frame_global >= f_lo) & (frame_global < f_hi)
         p_lo = int(offsets[f_lo]) if f_hi > f_lo else 0
         p_hi = int(offsets[f_hi]) if f_hi > f_lo else 0
@@ -286,6 +291,84 @@ def shard_loaded_index(kmer: KmerIndex, trans_concat: np.ndarray,
         out["red"][i, :len(p["red"])] = p["red"]
         out["base"][i] = p["base"]
     return out
+
+
+def make_sharded_band_scorer(mesh: Mesh, N: int, D: int, gap_first: int,
+                             gap_extend: int, kernel: str = "pallas"):
+    """Pass-1 banded extension over the (q, db) mesh: every device
+    gathers the virtual subject windows of ITS matches from ITS local
+    subject shard and runs the banded SW kernel — the distributed form
+    of ``extend.sw_scores_device`` (the subject concat is never
+    replicated; per-device bytes scale ~1/db_shards).
+
+    Inputs (global shapes; Qm = q-shards, Dm = db-shards):
+      trans_q    (G, L) int32          -> P('q', None)   query frame rows
+      trans_sbj  (Dm, S) int8          -> P('db', None)  local subject concat
+      offsets    (Dm, F) int32         -> P('db', None)  local frame offsets
+      lengths    (Dm, F) int32         -> P('db', None)
+      match arrays (Qm, Dm, Bp) int32  -> P('q', 'db', None), LOCAL ids:
+        qry_id relative to the q shard's first frame row, subj_id the
+        LOCAL frame id within the db shard; rows padded with qry_len=0
+      e8         (A+1, A+1) int8       -> replicated
+    Output: scores (Qm, Dm, Bp) int32 -> P('q', 'db', None).
+
+    ``kernel``: 'pallas' (TPU) or 'xla' (portable; used by the CPU-mesh
+    dry run so the REAL production step is what multichip validates).
+    """
+    from ..ops import sw_band
+    from ..search import extend as _extend  # noqa: F401  (doc anchor)
+
+    pad_fill = None  # computed from e8 inside
+
+    def local(trans_q, trans_sbj, offsets, lengths, qry_id, qry_start,
+              qry_len, subj_id, d_lo, d_row, e8):
+        trans_sbj = trans_sbj[0]
+        offsets = offsets[0]
+        lengths = lengths[0]
+        qry_id = qry_id[0, 0]
+        qry_start = qry_start[0, 0]
+        qry_len = qry_len[0, 0]
+        subj_id = subj_id[0, 0]
+        d_lo = d_lo[0, 0]
+        d_row = d_row[0, 0]
+
+        pad = e8.shape[0] - 1
+        iq = jnp.arange(N, dtype=jnp.int32)
+        qidx = qry_start[:, None] + iq[None, :]
+        qwin = trans_q[jnp.clip(qry_id, 0, trans_q.shape[0] - 1)[:, None],
+                       jnp.clip(qidx, 0, trans_q.shape[1] - 1)]
+        qwin = jnp.where(iq[None, :] < qry_len[:, None], qwin, pad)
+
+        sid = jnp.clip(subj_id, 0, offsets.shape[0] - 1)
+        spos = d_lo[:, None] + iq[None, :]
+        sval = (spos >= 0) & (spos < lengths[sid][:, None]) \
+            & (iq[None, :] < (qry_len + d_row)[:, None])
+        sabs = offsets[sid][:, None] + spos
+        swin = trans_sbj[jnp.clip(sabs, 0, trans_sbj.shape[0] - 1)] \
+            .astype(jnp.int32)
+        swin = jnp.where(sval, swin, pad)
+
+        qwin = qwin.astype(jnp.int32)
+        if kernel == "pallas":
+            out = sw_band.sw_band_score_device(
+                qwin, swin, d_row, e8, D, gap_first, gap_extend)
+        else:
+            ext32 = e8.astype(jnp.int32)
+            best, _, _ = sw_xla.sw_score_batch(
+                qwin, swin, ext32, gap_first, gap_extend, band_d=d_row)
+            out = best.astype(jnp.int32)
+        return out[None, None]
+
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("q", None), P("db", None), P("db", None), P("db", None),
+                  P("q", "db", None), P("q", "db", None), P("q", "db", None),
+                  P("q", "db", None), P("q", "db", None), P("q", "db", None),
+                  P(None, None)),
+        out_specs=P("q", "db", None),
+        check_vma=False,
+    )
+    return jax.jit(step)
 
 
 def make_sharded_seeder(mesh: Mesh, fused):

@@ -126,9 +126,14 @@ class SearchContext:
             self.d_keys = jnp.asarray(idx.kmer.keys)
             self.d_pos = jnp.asarray(idx.kmer.pos.astype(np.int32))
             self.d_frame = jnp.asarray(idx.kmer.frame.astype(np.int32))
-        self.d_sbj_lens = jnp.asarray(idx.trans_lengths.astype(np.int32))
-        self.d_sbj_offsets = jnp.asarray(idx.trans_offsets[:-1].astype(np.int32))
-        self.d_trans_sbj = jnp.asarray(idx.trans_concat.astype(np.int8))
+        if self.db_shards * self.q_shards == 1:
+            # single-device resident subject image; in mesh mode the
+            # subject tensors live ONLY as 'db'-sharded arrays (d_sh) —
+            # per-device bytes scale ~1/db_shards (P7)
+            self.d_sbj_lens = jnp.asarray(idx.trans_lengths.astype(np.int32))
+            self.d_sbj_offsets = jnp.asarray(
+                idx.trans_offsets[:-1].astype(np.int32))
+            self.d_trans_sbj = jnp.asarray(idx.trans_concat.astype(np.int8))
 
         # prescore matrices over trans alphabet
         self.d_sub_fwd = jnp.asarray(self.align_fwd.matrix.astype(np.int32))
@@ -177,6 +182,13 @@ class SearchContext:
 
             devs = jax.devices()
             n_dev = self.q_shards * self.db_shards
+            if len(devs) < n_dev:
+                try:
+                    # forced host devices (virtual CPU mesh) live on the
+                    # cpu backend even when a TPU plugin takes priority
+                    devs = jax.devices("cpu")
+                except RuntimeError:
+                    pass
             if len(devs) < n_dev:
                 raise RuntimeError(
                     f"--q-shards {self.q_shards} x --db-shards "
@@ -352,6 +364,80 @@ class SearchContext:
                 self.mesh, fused)
         return self._sharded_steps[key]
 
+    def band_scorer_for(self, N: int, D: int, gf: int, ge: int):
+        from ..parallel import mesh as pmesh
+
+        if not hasattr(self, "_band_scorers"):
+            self._band_scorers = {}
+        key = (N, D, gf, ge)
+        if key not in self._band_scorers:
+            plat = self.mesh.devices.flat[0].platform
+            kern = "pallas" if plat == "tpu" else "xla"
+            self._band_scorers[key] = pmesh.make_sharded_band_scorer(
+                self.mesh, N, D, gf, ge, kernel=kern)
+        return self._band_scorers[key]
+
+    def _sharded_scores(self, m, d_trans_q, gf: int, ge: int) -> np.ndarray:
+        """Pass-1 banded scores over the (q, db) mesh: matches are
+        partitioned by (query shard, subject shard) and bucketed by
+        (qlen, band) shape class; each device gathers windows from its
+        LOCAL subject shard (the distributed form of
+        extend.sw_scores_device — VERDICT P7/extension obligation)."""
+        from ..ops import sw_band
+
+        n = len(m)
+        scores = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return scores
+        Qm, Dm = self.q_shards, self.db_shards
+        G = int(d_trans_q.shape[0])
+        q_rows = G // Qm
+        qlen, d_row, wlen = extend._ext_geometry(m)
+        qsh = (m.qry_id // q_rows).astype(np.int64)
+        base = np.asarray(self.shard_base, dtype=np.int64)
+        dsh = np.searchsorted(base, m.subj_id, side="right") - 1
+        rev = (m.subj_id % 2 == 1) if self.bs_mode \
+            else np.zeros(n, dtype=bool)
+
+        groups: dict = {}
+        for i in range(n):
+            groups.setdefault(
+                (extend._bucket(int(qlen[i])), extend._bucket_d(int(d_row[i])),
+                 bool(rev[i])), []).append(i)
+        for (qbk, dbk, r), idxs in groups.items():
+            idxs = np.asarray(idxs)
+            N, W, BTL, _, _ = sw_band._plan(qbk + dbk, dbk)
+            # rows per (q, db) cell, padded to a common lane-tile multiple
+            counts = np.zeros((Qm, Dm), dtype=np.int64)
+            for i in idxs:
+                counts[qsh[i], dsh[i]] += 1
+            Bp = sw_band._ceil(max(int(counts.max()), 1), BTL)
+            arrs = {k: np.zeros((Qm, Dm, Bp), dtype=np.int32)
+                    for k in ("qry_id", "qry_start", "qry_len", "subj_id",
+                              "d_lo", "d_row")}
+            slot = np.zeros((Qm, Dm), dtype=np.int64)
+            places = np.zeros((len(idxs), 3), dtype=np.int64)
+            for k2, i in enumerate(idxs):
+                a, b = int(qsh[i]), int(dsh[i])
+                p = int(slot[a, b]); slot[a, b] += 1
+                arrs["qry_id"][a, b, p] = m.qry_id[i] - a * q_rows
+                arrs["qry_start"][a, b, p] = m.qry_start[i]
+                arrs["qry_len"][a, b, p] = qlen[i]
+                arrs["subj_id"][a, b, p] = m.subj_id[i] - base[b]
+                arrs["d_lo"][a, b, p] = m.d_lo[i]
+                arrs["d_row"][a, b, p] = d_row[i]
+                places[k2] = (a, b, p)
+            step = self.band_scorer_for(N, dbk, gf, ge)
+            out = np.asarray(step(
+                d_trans_q, self.d_sh["trans"], self.d_sh["offsets"],
+                self.d_sh["lengths"],
+                *(jnp.asarray(arrs[k]) for k in
+                  ("qry_id", "qry_start", "qry_len", "subj_id",
+                   "d_lo", "d_row")),
+                jnp.asarray(self.e8_rev if r else self.e8_fwd)))
+            scores[idxs] = out[places[:, 0], places[:, 1], places[:, 2]]
+        return scores
+
     # -----------------------------------------------------------------
     # per-batch processing (one phase)
     # -----------------------------------------------------------------
@@ -467,10 +553,13 @@ class SearchContext:
         ge = self.align_fwd.dp_gap_extend
         with stats.timed("time_extend"):
             scores = None
-            if extend._use_pallas():
+            if self.mesh is not None:
+                # distributed pass 1: per-shard window gather + banded SW
+                # on shard-local subject tensors
+                scores = self._sharded_scores(m, d_trans_q, gf, ge)
+            elif extend._use_pallas():
                 # fully device-resident score pass (windows gathered from
-                # the resident query/subject tensors); None = query too
-                # long for the kernel's VMEM budget
+                # the resident query/subject tensors)
                 scores = extend.sw_scores_device(
                     m, d_trans_q, self.d_trans_sbj, self.d_sbj_offsets,
                     self.d_sbj_lens, self.e8_fwd, self.e8_rev, gf, ge,
