@@ -113,6 +113,10 @@ def mkindex_main(sub: str, argv: list[str]) -> int:
                         "halve index size but cap seed length + adaptive "
                         "elongation at words*chars_per_word characters")
     p.add_argument("--dump-json", default="", help="also write a JSON debug dump")
+    p.add_argument("--shards", type=int, default=1,
+                   help="build the k-mer index as N subject-range shards "
+                        "(sidecar files <index>.shardK); search hosts can "
+                        "load a subset and feed device shards directly")
     args = p.parse_args(argv)
 
     from .index import artifact
@@ -130,6 +134,7 @@ def mkindex_main(sub: str, argv: list[str]) -> int:
         threads=args.threads or 1,
         verbosity=args.verbosity,
         kmer_words=args.kmer_words,
+        shards=args.shards,
     )
 
     if os.path.exists(opts.index_file):

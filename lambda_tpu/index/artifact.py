@@ -52,7 +52,15 @@ class IndexData:
     taxon_parents: np.ndarray           # uint32, may be empty
     taxon_heights: np.ndarray           # uint8, may be empty
     taxon_names: list[str]
-    kmer: KmerIndex
+    kmer: KmerIndex | None
+
+    # sharded artifact (mkindex --shards N): per-subject-range k-mer
+    # shards with LOCAL pos/frame ids; subject boundaries (S+1,).  When
+    # populated, ``kmer`` starts None and is merged lazily (get_kmer) —
+    # a stable key sort reproduces the global build exactly.
+    kmer_shards: list = dataclasses.field(default_factory=list)
+    shard_subj_bounds: np.ndarray | None = None
+    loaded_shards: list = dataclasses.field(default_factory=list)
 
     # derived on load (translated frames for prescore/extension)
     trans_frames: list[np.ndarray] = dataclasses.field(default_factory=list)
@@ -91,6 +99,51 @@ class IndexData:
             self.genetic_code)
         self.trans_concat, self.trans_offsets, self.trans_lengths = (
             fr.concat_frames(self.trans_frames))
+
+    @property
+    def kmer_meta(self) -> KmerIndex:
+        """A KmerIndex whose bits/words/capacity metadata is valid even
+        when only shards are loaded."""
+        return self.kmer if self.kmer is not None else self.kmer_shards[0]
+
+    def shard_frame_bounds(self) -> np.ndarray:
+        """Per-shard frame boundaries (S+1,) derived from subject bounds."""
+        fps = self.sbj_num_frames
+        return (self.shard_subj_bounds * fps).astype(np.int64)
+
+    def get_kmer(self) -> KmerIndex:
+        """The global k-mer index; merges loaded shards on first use.
+        The merge reproduces the unsharded build bit-exactly: shard rows
+        concatenate in global-position order, and the same stable key
+        sort the builder uses restores the global order."""
+        if self.kmer is not None:
+            return self.kmer
+        if len(self.loaded_shards) != len(self.kmer_shards) or \
+                not self.kmer_shards:
+            raise RuntimeError(
+                "cannot merge a partially loaded sharded index "
+                f"(loaded shards {self.loaded_shards}).")
+        from .. import native
+        from .build import KmerIndex as KI
+
+        fb = self.shard_frame_bounds()
+        keys = np.concatenate([s.keys for s in self.kmer_shards])
+        pos = np.concatenate(
+            [s.pos.astype(np.int64) + int(self.trans_offsets[fb[k]])
+             for k, s in enumerate(self.kmer_shards)])
+        frame = np.concatenate(
+            [s.frame.astype(np.int64) + int(fb[k])
+             for k, s in enumerate(self.kmer_shards)])
+        meta = self.kmer_shards[0]
+        order = native.sort_rows_u32(keys) if meta.words <= 4 else None
+        if order is None:
+            order = np.lexsort(tuple(keys[:, w]
+                                     for w in reversed(range(meta.words))))
+        self.kmer = KI(alphabet_size=meta.alphabet_size, bits=meta.bits,
+                       words=meta.words, keys=keys[order],
+                       pos=pos[order].astype(np.uint32),
+                       frame=frame[order].astype(np.uint32))
+        return self.kmer
 
 
 def build_index(opts: opt_mod.IndexerOptions, verbose_print=None) -> IndexData:
@@ -135,10 +188,37 @@ def build_index(opts: opt_mod.IndexerOptions, verbose_print=None) -> IndexData:
     trans = fr.subject_trans_frames(seqs, orig_alph, trans_alph, red_alph,
                                     opts.genetic_code)
     red = fr.reduce_frames(trans, trans_alph, red_alph)
-    red_concat, offsets, _ = fr.concat_frames(red)
-    kmer = build_kmer_index(red_concat, offsets, ab.ALPHABET_SIZES[red_alph],
-                            words=opts.kmer_words)
-    vp(f"Generated index over {len(red_concat)} positions in {time.time()-t0:.2f}s")
+    shards = max(1, int(getattr(opts, "shards", 1)))
+    kmer = None
+    kmer_shards: list[KmerIndex] = []
+    bounds = None
+    if shards <= 1:
+        red_concat, offsets, _ = fr.concat_frames(red)
+        kmer = build_kmer_index(red_concat, offsets,
+                                ab.ALPHABET_SIZES[red_alph],
+                                words=opts.kmer_words)
+        npos = len(red_concat)
+    else:
+        # per-shard build over contiguous subject ranges: peak build RSS
+        # is O(largest shard), never the whole database's key array
+        fps = len(trans) // len(seqs)
+        groups = np.array_split(np.arange(len(seqs)), shards)
+        bounds = np.zeros(shards + 1, dtype=np.int64)
+        npos = 0
+        prev_hi = 0
+        for k, g in enumerate(groups):
+            s_lo = int(g[0]) if len(g) else prev_hi
+            s_hi = int(g[-1]) + 1 if len(g) else prev_hi
+            prev_hi = s_hi
+            bounds[k] = s_lo
+            frames_g = red[s_lo * fps : s_hi * fps]
+            concat_g, offs_g, _ = fr.concat_frames(frames_g)
+            kmer_shards.append(build_kmer_index(
+                concat_g, offs_g, ab.ALPHABET_SIZES[red_alph],
+                words=opts.kmer_words))
+            npos += len(concat_g)
+        bounds[shards] = len(seqs)
+    vp(f"Generated index over {npos} positions in {time.time()-t0:.2f}s")
 
     idx = IndexData(
         generation=INDEX_GENERATION,
@@ -154,6 +234,9 @@ def build_index(opts: opt_mod.IndexerOptions, verbose_print=None) -> IndexData:
         taxon_heights=heights,
         taxon_names=names,
         kmer=kmer,
+        kmer_shards=kmer_shards,
+        shard_subj_bounds=bounds,
+        loaded_shards=list(range(len(kmer_shards))),
     )
     idx.trans_frames = trans
     idx.trans_concat, idx.trans_offsets, idx.trans_lengths = fr.concat_frames(trans)
@@ -199,7 +282,13 @@ def _unpack_ragged_ints(flat: np.ndarray, offs: np.ndarray) -> list[list[int]]:
     return [flat[offs[i] : offs[i + 1]].tolist() for i in range(len(offs) - 1)]
 
 
+def shard_path(path: str, k: int) -> str:
+    return f"{path}.shard{k}"
+
+
 def save_index(idx: IndexData, path: str) -> None:
+    meta = idx.kmer_meta
+    n_shards = len(idx.kmer_shards)
     header = dict(
         generation=idx.generation,
         index_type=idx.index_type,
@@ -207,14 +296,14 @@ def save_index(idx: IndexData, path: str) -> None:
         trans_alph=idx.trans_alph,
         red_alph=idx.red_alph,
         genetic_code=idx.genetic_code,
-        kmer_bits=idx.kmer.bits,
-        kmer_words=idx.kmer.words,
-        kmer_alphabet_size=idx.kmer.alphabet_size,
+        kmer_bits=meta.bits,
+        kmer_words=meta.words,
+        kmer_alphabet_size=meta.alphabet_size,
+        shards=n_shards,
     )
     seq_concat, seq_offsets, _ = fr.concat_frames(idx.seqs)
     stax_flat, stax_offs = _pack_ragged_ints(idx.s_tax_ids)
-    np.savez(
-        path,
+    payload = dict(
         header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8).copy(),
         ids=_pack_strings(idx.ids),
         seq_concat=seq_concat,
@@ -224,15 +313,24 @@ def save_index(idx: IndexData, path: str) -> None:
         taxon_parents=idx.taxon_parents,
         taxon_heights=idx.taxon_heights,
         taxon_names=_pack_strings(idx.taxon_names),
-        kmer_keys=idx.kmer.keys,
-        kmer_pos=idx.kmer.pos,
-        kmer_frame=idx.kmer.frame,
     )
-    # numpy appends .npz; normalize to requested path
+    if n_shards:
+        payload["shard_subj_bounds"] = idx.shard_subj_bounds
+    else:
+        payload.update(kmer_keys=idx.kmer.keys, kmer_pos=idx.kmer.pos,
+                       kmer_frame=idx.kmer.frame)
     import os
 
-    if not str(path).endswith(".npz") and os.path.exists(str(path) + ".npz"):
-        os.replace(str(path) + ".npz", path)
+    def _savez(p, **arrs):
+        np.savez(p, **arrs)
+        # numpy appends .npz; normalize to requested path
+        if not str(p).endswith(".npz") and os.path.exists(str(p) + ".npz"):
+            os.replace(str(p) + ".npz", p)
+
+    _savez(path, **payload)
+    for k, sh in enumerate(idx.kmer_shards):
+        _savez(shard_path(path, k), kmer_keys=sh.keys, kmer_pos=sh.pos,
+               kmer_frame=sh.frame)
 
 
 def read_index_options(path: str) -> dict:
@@ -248,7 +346,10 @@ def read_index_options(path: str) -> dict:
     return header
 
 
-def load_index(path: str) -> IndexData:
+def load_index(path: str, shards: list[int] | None = None) -> IndexData:
+    """Load an index.  For sharded artifacts, ``shards`` selects which
+    k-mer shards to load (None = all) — a multi-host search loads only
+    its own shards and feeds them to its devices directly."""
     import zipfile
 
     from ..misc import IndexException
@@ -265,13 +366,17 @@ def load_index(path: str) -> IndexData:
             "       Did you create it with the same version's mkindex*?") \
             from e
     try:
-        return _load_payload(path, header)
+        return _load_payload(path, header, shards)
     except (OSError, KeyError, ValueError, zipfile.BadZipFile) as e:
         raise IndexException(
             f"the index at '{path}' is corrupt or truncated: {e}") from e
 
 
-def _load_payload(path: str, header: dict) -> IndexData:
+def _load_payload(path: str, header: dict,
+                  shards: list[int] | None = None) -> IndexData:
+    n_shards = int(header.get("shards", 0))
+    meta = dict(alphabet_size=header["kmer_alphabet_size"],
+                bits=header["kmer_bits"], words=header["kmer_words"])
     with np.load(path, allow_pickle=False) as z:
         ids = _unpack_strings(z["ids"])
         seq_concat = z["seq_concat"]
@@ -279,14 +384,13 @@ def _load_payload(path: str, header: dict) -> IndexData:
         seqs = [seq_concat[seq_offsets[i] : seq_offsets[i + 1]]
                 for i in range(len(seq_offsets) - 1)]
         s_tax_ids = _unpack_ragged_ints(z["stax_flat"], z["stax_offsets"])
-        kmer = KmerIndex(
-            alphabet_size=header["kmer_alphabet_size"],
-            bits=header["kmer_bits"],
-            words=header["kmer_words"],
-            keys=z["kmer_keys"],
-            pos=z["kmer_pos"],
-            frame=z["kmer_frame"],
-        )
+        kmer = None
+        bounds = None
+        if n_shards:
+            bounds = z["shard_subj_bounds"]
+        else:
+            kmer = KmerIndex(keys=z["kmer_keys"], pos=z["kmer_pos"],
+                             frame=z["kmer_frame"], **meta)
         idx = IndexData(
             generation=header["generation"],
             index_type=header["index_type"],
@@ -301,7 +405,24 @@ def _load_payload(path: str, header: dict) -> IndexData:
             taxon_heights=z["taxon_heights"],
             taxon_names=_unpack_strings(z["taxon_names"]),
             kmer=kmer,
+            shard_subj_bounds=bounds,
         )
+    if n_shards:
+        want = list(range(n_shards)) if shards is None else list(shards)
+        shard_list: list[KmerIndex] = []
+        for k in range(n_shards):
+            if k in want:
+                with np.load(shard_path(path, k), allow_pickle=False) as zs:
+                    shard_list.append(KmerIndex(
+                        keys=zs["kmer_keys"], pos=zs["kmer_pos"],
+                        frame=zs["kmer_frame"], **meta))
+            else:
+                shard_list.append(KmerIndex(
+                    keys=np.zeros((0, meta["words"]), np.uint32),
+                    pos=np.zeros(0, np.uint32),
+                    frame=np.zeros(0, np.uint32), **meta))
+        idx.kmer_shards = shard_list
+        idx.loaded_shards = want
     idx.materialize_frames()
     return idx
 
@@ -319,7 +440,9 @@ def dump_json(idx: IndexData, path: str) -> None:
         ids=idx.ids,
         seqs=[ab.decode(s, idx.orig_alph) for s in idx.seqs],
         s_tax_ids=idx.s_tax_ids,
-        num_kmer_positions=idx.kmer.num_positions,
+        num_kmer_positions=(idx.kmer.num_positions if idx.kmer is not None
+                            else sum(s.num_positions
+                                     for s in idx.kmer_shards)),
     )
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)

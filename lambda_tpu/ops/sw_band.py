@@ -153,62 +153,78 @@ def _band_image(q, s, subst_ext8, n_tiles, BTL, D, W, N, JB):
     return subb                                                   # (T,N,W,BTL)
 
 
-def pack_width(D: int) -> int:
-    """Lane-layout band width: smallest power of two >= D+1 (>= 16)."""
-    w = 16
-    while w < D + 1:
-        w *= 2
-    return w
-
-
 def _lane_geometry(D: int):
-    Ws = pack_width(D)
+    """Lane-layout geometry: per-alignment band width Ws = D+1 padded to
+    8, P alignments packed per 128-lane register (dead lanes masked),
+    LW total lanes, BT batch sublanes per tile."""
+    Ws = _ceil(D + 1, 8)
     P = max(1, 128 // Ws)
-    LW = max(Ws, 128)
-    BT = max(8, min(_BT_CAP, (1 << 20) // (LW * 4) * 2))  # ~2 MB state x3
+    LW = max(_ceil(Ws, 128), 128)
+    BT = max(8, min(_BT_CAP, (1 << 21) // (LW * 4)))  # ~2 MB state x3
     BT = (BT // 8) * 8
     return Ws, P, LW, BT
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_tiles", "BT", "P", "D", "Ws", "N",
-                                    "JB"))
-def _band_image_lane(q, s, subst_ext8, n_tiles, BT, P, D, Ws, N, JB):
-    """Sheared banded substitution image in LANE layout:
-    (T, N, BT, P*Ws) int8 with row b = ((t*BT + bt)*P + p) on
-    (sublane bt, lane-group p).  Same blocked MXU one-hot + stride-shear
-    as _band_image; the final transpose only swaps MAJOR axes (the
-    pattern the rectangle kernel uses), so it is a cheap block copy —
-    unlike the batch-to-minor transpose the sublane layout needs."""
+                   static_argnames=("n_tiles", "BT", "P", "LW", "D", "Ws",
+                                    "N"))
+def _band_image_lane(q, s, subst_ext8, n_tiles, BT, P, LW, D, Ws, N):
+    """Sheared banded substitution image in LANE layout without any
+    matmuls over match batches: (T, N, BT, LW) int8 with row
+    b = ((t*BT + bt)*P + p) on (sublane bt, lane-group p).
+
+    Build (all fused elementwise / cheap slices — the earlier MXU
+    one-hot + stride-shear pipeline measured 3.4 ms of batched tiny-K
+    matmuls plus ~4 ms of cast/copy traffic on the flagship shape):
+      1. QSH[b, j, w] = q[b, j + w - D]  — W shifted SLICES of the rank
+         array (the shear on ranks costs nothing; PAD ranks pad i<0/i>=N)
+      2. PROF[b, j, k] = packed uint32 of 4 int8 scores
+         S[4k..4k+3, s[b,j]] — ONE unbatched one-hot matmul (B*N, C) @
+         (C, C4) then a bitcast, no per-match batching
+      3. SUBB = byte-extract(PROF[word(QSH)], QSH & 3) — K4-way select
+         plus variable shifts, fully fused over (B, N, Ws)
+    """
     B = q.shape[0]
     C = subst_ext8.shape[0]
-    iota = jnp.arange(C, dtype=jnp.int32)
-    ohs = (s[:, :, None] == iota).astype(jnp.bfloat16)
-    prof_s = jax.lax.dot_general(
-        ohs, subst_ext8.astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.bfloat16)
+    C4 = _ceil(C, 4)
+    K4 = C4 // 4
     pad_rank = C - 1
-    qpad = jnp.concatenate(
-        [jnp.full((B, D), pad_rank, q.dtype), q], axis=1)
 
-    Mblk = JB + D
-    blocks = []
-    for j0 in range(0, N, JB):
-        qblk = qpad[:, j0 : j0 + Mblk]
-        ohq = (qblk[:, :, None] == iota).astype(jnp.bfloat16)
-        pblk = prof_s[:, j0 : j0 + JB, :]
-        sub = jax.lax.dot_general(
-            pblk, ohq, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.bfloat16)
-        sub = sub.astype(jnp.int8)
-        flat = sub.reshape(B, JB * Mblk)
-        tail = jnp.full((B, JB), PAD_SCORE8, jnp.int8)
-        flat = jnp.concatenate([flat, tail], axis=1)
-        blocks.append(flat.reshape(B, JB, Mblk + 1)[:, :, :Ws])
-    subb = jnp.concatenate(blocks, axis=1) if len(blocks) > 1 else blocks[0]
+    # 1. sheared query ranks (int8 keeps the stacked intermediate small)
+    qp = jnp.concatenate(
+        [jnp.full((B, D), pad_rank, jnp.int8), q.astype(jnp.int8),
+         jnp.full((B, Ws), pad_rank, jnp.int8)], axis=1)
+    qsh = jnp.stack([qp[:, w : w + N] for w in range(Ws)], axis=2)  # B,N,Ws
+    qsh = qsh.astype(jnp.int32)
+
+    # 2. packed substitution columns for the subject chars
+    # table[c_q, c_s] padded to C4 rows with PAD scores
+    tbl = jnp.full((C4, C), jnp.int8(PAD_SCORE8))
+    tbl = tbl.at[:C, :].set(subst_ext8.astype(jnp.int8))
+    iota = jnp.arange(C, dtype=jnp.int32)
+    ohs = (s[:, :, None] == iota).astype(jnp.bfloat16)              # B,N,C
+    prof = jax.lax.dot_general(
+        ohs, tbl.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.bfloat16)                         # B,N,C4
+    prof = jax.lax.bitcast_convert_type(
+        prof.astype(jnp.int8).reshape(B, N, K4, 4), jnp.uint32)      # B,N,K4
+
+    # 3. select the word, extract the byte (sign-extended)
+    word = qsh >> 2                                                  # 0..K4-1
+    sel = jnp.zeros((B, N, Ws), jnp.uint32)
+    for k in range(K4):
+        sel = jnp.where(word == k, prof[:, :, k][:, :, None], sel)
+    shift = (3 - (qsh & 3)) << 3
+    subb = (sel.astype(jnp.int32) << shift) >> 24                    # int8 val
+    subb = subb.astype(jnp.int8)
+
     subb = subb.reshape(n_tiles, BT, P, N, Ws).transpose(0, 3, 1, 2, 4)
-    return subb.reshape(n_tiles, N, BT, P * Ws)
+    subb = subb.reshape(n_tiles, N, BT, P * Ws)
+    if P * Ws < LW:
+        subb = jnp.pad(subb, ((0, 0), (0, 0), (0, 0), (0, LW - P * Ws)),
+                       constant_values=PAD_SCORE8)
+    return subb
 
 
 def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
@@ -305,9 +321,9 @@ def _score_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024))),
     )(subb, wmin)
-    # per-row best: reduce each pack's Ws lanes
-    P = LW // Ws
-    return out.reshape(n_tiles, BT, P, Ws).max(axis=3)
+    # per-row best: reduce each pack's Ws lanes (dead lanes dropped)
+    P = max(1, 128 // Ws) if Ws <= 128 else 1
+    return out[:, :, :P * Ws].reshape(n_tiles, BT, P, Ws).max(axis=3)
 
 
 def _make_band_kernel(NC: int, W: int, BTL: int, n_chunks: int, D: int,
@@ -425,11 +441,15 @@ def sw_band_score_device(q, s, d_rows, subst_ext8, D: int,
     wmin1 = jnp.int32(D) - d_rows
     if _LAYOUT == "lane":
         Ws, P, LW, BT = _lane_geometry(D)
-        subb = _band_image_lane(q, s, subst_ext8, n_tiles, BT, P, D, Ws,
-                                N, JB)
+        subb = _band_image_lane(q, s, subst_ext8, n_tiles, BT, P, LW, D,
+                                Ws, N)
         wmin = jnp.broadcast_to(
             wmin1.reshape(n_tiles, BT, P, 1), (n_tiles, BT, P, Ws)
-        ).reshape(n_tiles, BT, LW)
+        ).reshape(n_tiles, BT, P * Ws)
+        if P * Ws < LW:
+            # dead lanes: wmin = Ws keeps them permanently out of band
+            wmin = jnp.pad(wmin, ((0, 0), (0, 0), (0, LW - P * Ws)),
+                           constant_values=Ws)
         out = _score_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D,
                                int(gap_first), int(gap_extend), interpret)
     else:

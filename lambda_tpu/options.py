@@ -265,6 +265,11 @@ class IndexerOptions:
     threads: int = 1
     verbosity: int = 1
     kmer_words: int = 4     # uint32 key words per position: capacity/size knob
+    # sharded artifact: build + store the k-mer index as N per-subject-range
+    # shards (sidecar files); search can load a subset per host and feed
+    # device shards directly (the reference's single index_file contract,
+    # shared_definitions.hpp:343-379, extended for scale-out)
+    shards: int = 1
 
     @property
     def has_s_tax_ids(self) -> bool:

@@ -265,8 +265,38 @@ def shard_loaded_index(kmer: KmerIndex, trans_concat: np.ndarray,
             base=f_lo,
         ))
 
+    return _stack_shard_dicts(per, kmer.words)
+
+
+def shard_prebuilt_index(idx, red_concat: np.ndarray):
+    """Stack the per-shard arrays of a SHARDED ARTIFACT (mkindex
+    --shards; index/artifact.py) for device placement — the shards were
+    built per subject range, so no global filter/re-sort is needed and
+    the host never materializes the merged key array."""
+    fb = idx.shard_frame_bounds()
+    offsets = idx.trans_offsets
+    lengths = idx.trans_lengths
+    per = []
+    for k, sh in enumerate(idx.kmer_shards):
+        f_lo, f_hi = int(fb[k]), int(fb[k + 1])
+        p_lo = int(offsets[f_lo]) if f_hi > f_lo else 0
+        p_hi = int(offsets[f_hi]) if f_hi > f_lo else 0
+        per.append(dict(
+            keys=sh.keys,
+            pos=sh.pos.astype(np.int32),
+            frame=sh.frame.astype(np.int32),
+            offsets=(offsets[f_lo:f_hi] - p_lo).astype(np.int32)
+                if f_hi > f_lo else np.zeros(0, np.int32),
+            lengths=lengths[f_lo:f_hi].astype(np.int32),
+            trans=idx.trans_concat[p_lo:p_hi].astype(np.int8),
+            red=red_concat[p_lo:p_hi].astype(np.int8),
+            base=f_lo,
+        ))
+    return _stack_shard_dicts(per, idx.kmer_meta.words)
+
+
+def _stack_shard_dicts(per, words):
     D = len(per)
-    words = kmer.words
     pmax = max(max(len(p["pos"]) for p in per), 1)
     fmax = max(max(len(p["offsets"]) for p in per), 1)
     smax = max(max(len(p["trans"]) for p in per), 1)

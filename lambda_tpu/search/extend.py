@@ -168,18 +168,19 @@ def _bucket(n: int) -> int:
     return int(n)
 
 
-# band sizes bucket at the sublane granularity the kernel pads to (8),
-# coarsening for wide (merged) bands — band width multiplies kernel cost
-# directly, so tight buckets matter more here than for query lengths
-_D_BUCKETS = [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 128, 160, 192, 256,
-              320, 384, 512, 768, 1024]
+# band sizes bucket so the kernel's per-alignment width Ws = Dbk+1 is
+# exactly a multiple of 8 (no double padding; packing P = 128//Ws stays
+# tight) — band width multiplies kernel cost directly, so tight buckets
+# matter more here than for query lengths
+_D_BUCKETS = [7, 15, 23, 31, 39, 47, 63, 79, 95, 127, 159, 191, 255,
+              319, 383, 511, 767, 1023]
 
 
 def _bucket_d(n: int) -> int:
     for b in _D_BUCKETS:
         if n <= b:
             return b
-    return int(-(-n // 8) * 8)
+    return int(-(-(n + 1) // 8) * 8) - 1
 
 
 def sw_extend_scores(m: MatchBatch, q_frames: list[np.ndarray],

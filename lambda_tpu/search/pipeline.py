@@ -123,9 +123,10 @@ class SearchContext:
                 "shard; increase --db-shards (or split the database).")
         self._check_device_memory(opt)
         if self.db_shards * self.q_shards == 1:
-            self.d_keys = jnp.asarray(idx.kmer.keys)
-            self.d_pos = jnp.asarray(idx.kmer.pos.astype(np.int32))
-            self.d_frame = jnp.asarray(idx.kmer.frame.astype(np.int32))
+            kg = idx.get_kmer()
+            self.d_keys = jnp.asarray(kg.keys)
+            self.d_pos = jnp.asarray(kg.pos.astype(np.int32))
+            self.d_frame = jnp.asarray(kg.frame.astype(np.int32))
         if self.db_shards * self.q_shards == 1:
             # single-device resident subject image; in mesh mode the
             # subject tensors live ONLY as 'db'-sharded arrays (d_sh) —
@@ -156,7 +157,7 @@ class SearchContext:
                              if idx.trans_alph == ab.AMINO_ACID else 4)
 
         # seed lengths must fit the index's packed-key capacity
-        cap = idx.kmer.capacity
+        cap = idx.kmer_meta.capacity
         phases = [opt.search_opts] + ([opt.search_opts0]
                                       if opt.iterative_search else [])
         for so in phases:
@@ -198,11 +199,16 @@ class SearchContext:
                 np.array(devs[:n_dev]).reshape(self.q_shards,
                                                self.db_shards),
                 ("q", "db"))
-            sh = pmesh.shard_loaded_index(
-                idx.kmer, idx.trans_concat, self._reduced_concat(),
-                idx.trans_offsets,
-                idx.trans_lengths, self.db_shards,
-                frames_per_subject=self.sbj_num_frames)
+            if idx.kmer_shards and len(idx.kmer_shards) == self.db_shards:
+                # sharded artifact matching the mesh: feed prebuilt
+                # shards directly (no global merge or re-filter)
+                sh = pmesh.shard_prebuilt_index(idx, self._reduced_concat())
+            else:
+                sh = pmesh.shard_loaded_index(
+                    idx.get_kmer(), idx.trans_concat,
+                    self._reduced_concat(), idx.trans_offsets,
+                    idx.trans_lengths, self.db_shards,
+                    frames_per_subject=self.sbj_num_frames)
             self.shard_base = sh["base"]
 
             def put(x, *axes):
@@ -227,8 +233,11 @@ class SearchContext:
         import jax
 
         idx = self.idx
-        need = (idx.kmer.keys.nbytes + idx.kmer.pos.nbytes * 2
-                + len(idx.trans_concat)) // max(self.db_shards, 1)
+        km = idx.kmer if idx.kmer is not None else None
+        kbytes = (km.keys.nbytes + km.pos.nbytes * 2) if km is not None \
+            else sum(s.keys.nbytes + s.pos.nbytes * 2
+                     for s in idx.kmer_shards)
+        need = (kbytes + len(idx.trans_concat)) // max(self.db_shards, 1)
         try:
             limit = jax.devices()[0].memory_stats().get("bytes_limit", 0)
         except Exception:
@@ -344,10 +353,12 @@ class SearchContext:
                 pre_scoring=self.opt.pre_scoring,
                 pre_scoring_thresh=self.opt.pre_scoring_thresh,
                 alphabet_size=ab.ALPHABET_SIZES[self.idx.red_alph],
-                bits=self.idx.kmer.bits,
-                cpw=self.idx.kmer.chars_per_word,
-                words=self.idx.kmer.words,
-                n_rows=self.idx.kmer.num_positions,
+                bits=self.idx.kmer_meta.bits,
+                cpw=self.idx.kmer_meta.chars_per_word,
+                words=self.idx.kmer_meta.words,
+                n_rows=self.idx.kmer.num_positions
+                if self.idx.kmer is not None else
+                max(s.num_positions for s in self.idx.kmer_shards),
                 max_cursors=4096 * scale,
                 max_hits=self.opt.max_hits_per_query_frame * 8 * scale,
             )
