@@ -338,10 +338,14 @@ class SearchContext:
             3 if self.program.q_translated else 1,
             3 if self.program.s_translated else 1)
 
-    def seeder_for(self, so: opt_mod.SearchOpts, scale: int = 1):
+    def seeder_for(self, so: opt_mod.SearchOpts, scale: int = 1,
+                   psum_axis: str | None = None):
         """Jitted seeder for a phase config; ``scale`` multiplies the
-        cursor/hit budgets (overflow retry doubles it)."""
-        key = (so.seed_length, so.seed_offset, so.max_seed_dist, scale)
+        cursor/hit budgets (overflow retry doubles it).  ``psum_axis``
+        builds the db-sharded variant whose adaptive-seeding decisions
+        psum counts over the mesh axis (shard-invariant)."""
+        key = (so.seed_length, so.seed_offset, so.max_seed_dist, scale,
+               psum_axis)
         if key not in self._seeders:
             cfg = seeding.SeedConfig(
                 seed_length=so.seed_length,
@@ -361,6 +365,7 @@ class SearchContext:
                 max(s.num_positions for s in self.idx.kmer_shards),
                 max_cursors=4096 * scale,
                 max_hits=self.opt.max_hits_per_query_frame * 8 * scale,
+                psum_axis=psum_axis,
             )
             self._seeders[key] = (cfg, seeding.make_seeder(cfg))
         return self._seeders[key]
@@ -370,7 +375,7 @@ class SearchContext:
 
         key = (so.seed_length, so.seed_offset, so.max_seed_dist, scale)
         if key not in self._sharded_steps:
-            _, (_, _, fused) = self.seeder_for(so, scale)
+            _, (_, _, fused) = self.seeder_for(so, scale, psum_axis="db")
             self._sharded_steps[key] = pmesh.make_sharded_seeder(
                 self.mesh, fused)
         return self._sharded_steps[key]

@@ -56,6 +56,12 @@ class SeedConfig:
     max_cursors: int = 4096     # per-batch cursor budget
     max_hits: int = 16384       # per-batch hit budget
     heuristic_factor: int = 10  # search_algo.hpp:627
+    # mesh axis name for db-sharded seeding: every COUNT that drives a
+    # decision (adaptive elongation, desiredOccs/hitsThisSeq feedback,
+    # abundance cutoff) becomes a psum over this axis so the decisions —
+    # and therefore the results — are identical to a single global
+    # index, independent of shard count (shard-invariant determinism)
+    psum_axis: str | None = None
 
     @property
     def capacity(self) -> int:
@@ -242,6 +248,10 @@ def make_seeder(cfg: SeedConfig):
             hi = hi.reshape(Q, V)
             count = jnp.where(vvalid, hi - lo, 0)
 
+            def _g(x):
+                return jax.lax.psum(x, cfg.psum_axis) if cfg.psum_axis else x
+
+            gcount = _g(count)
             seed_len = jnp.full((Q, V), k, jnp.int32)
 
             if cfg.adaptive and cfg.ext_max > 0 and not pigeon:
@@ -256,10 +266,15 @@ def make_seeder(cfg: SeedConfig):
                 frame_len = qlens[gs]  # (Q,)
 
                 def ext_body(_, st):
-                    tgt, msk, lo_c, hi_c, cnt, slen, frozen = st
+                    tgt, msk, lo_c, hi_c, cnt, gcnt, slen, frozen = st
                     nxt_pos = begin[:, None] + slen  # (Q, V)
+                    # (gcnt > 0, not cnt > 0: a shard whose local range
+                    # emptied keeps taking the GLOBAL decisions so every
+                    # shard's accept sequence — and seed_len — matches
+                    # the single-index run; empty local ranges just keep
+                    # locating nothing)
                     can = (~frozen) & (nxt_pos < frame_len[:, None]) \
-                        & (slen < cfg.capacity) & (cnt > 0)
+                        & (slen < cfg.capacity) & (gcnt > 0)
                     nxt_char = red_q[gs[:, None],
                                      jnp.clip(nxt_pos, 0, red_q.shape[1] - 1)]
                     tgt2 = kmer.append_char(tgt, slen, nxt_char.astype(jnp.int32),
@@ -271,8 +286,10 @@ def make_seeder(cfg: SeedConfig):
                     lo2 = lo2.reshape(Q, V)
                     hi2 = hi2.reshape(Q, V)
                     cnt2 = hi2 - lo2
+                    gcnt2 = _g(cnt2)
                     # revert if count drops below desiredOccs AND below old
-                    revert = (cnt2 < desired[:, None]) & (cnt2 < cnt)
+                    # (decided on GLOBAL counts under db sharding)
+                    revert = (gcnt2 < desired[:, None]) & (gcnt2 < gcnt)
                     accept = can & ~revert
                     frozen = frozen | (can & revert) | ~can
                     tgt = jnp.where(accept[..., None], tgt2, tgt)
@@ -280,24 +297,31 @@ def make_seeder(cfg: SeedConfig):
                     lo_c = jnp.where(accept, lo2, lo_c)
                     hi_c = jnp.where(accept, hi2, hi_c)
                     cnt = jnp.where(accept, cnt2, cnt)
+                    gcnt = jnp.where(accept, gcnt2, gcnt)
                     slen = jnp.where(accept, slen + 1, slen)
-                    return tgt, msk, lo_c, hi_c, cnt, slen, frozen
+                    return tgt, msk, lo_c, hi_c, cnt, gcnt, slen, frozen
 
-                st0 = (targets, masks, lo, hi, count, seed_len,
+                st0 = (targets, masks, lo, hi, count, gcount, seed_len,
                        jnp.zeros((Q, V), bool))
-                targets, masks, lo, hi, count, seed_len, _ = jax.lax.fori_loop(
-                    0, cfg.ext_max, ext_body, st0)
+                (targets, masks, lo, hi, count, gcount, seed_len, _) = \
+                    jax.lax.fori_loop(0, cfg.ext_max, ext_body, st0)
 
-            # abundance cutoff (search_algo.hpp:729).  Not applied in
-            # pigeonhole mode: chunk-anchor counts are counts of a much
-            # shorter string than the reference's whole-seed cursor counts;
-            # the hit budget (+ overflow retry) bounds pathological cases.
+            # abundance cutoff (search_algo.hpp:729) — decided on GLOBAL
+            # counts under db sharding.  Not applied in pigeonhole mode:
+            # chunk-anchor counts are counts of a much shorter string
+            # than the reference's whole-seed cursor counts; the hit
+            # budget (+ overflow retry) bounds pathological cases.
             keep = (count > 0) if pigeon \
-                else (count > 0) & (count <= cfg.occ_cap)
+                else (count > 0) & (gcount <= cfg.occ_cap)
             kept_count = jnp.where(keep, count, 0)
 
-            # deviation (documented above): located hits, not prescore-passing
-            hits_this_seq = hits_this_seq + kept_count.sum(axis=1)
+            # deviation (documented above): located hits, not
+            # prescore-passing; GLOBAL located counts feed the
+            # desiredOccs heuristic so it is shard-invariant
+            gkeep = (gcount > 0) if pigeon \
+                else (gcount > 0) & (gcount <= cfg.occ_cap)
+            g_kept = jnp.where(gkeep, gcount, 0)
+            hits_this_seq = hits_this_seq + g_kept.sum(axis=1)
 
             out = dict(lo=lo, count=kept_count, seed_len=seed_len,
                        frame=jnp.broadcast_to(gs[:, None], (Q, V)),

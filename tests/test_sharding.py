@@ -212,6 +212,45 @@ def test_cli_db_shards_matches_unsharded(tmp_path):
     assert "GYRA_ECOLI" in outs[1]
 
 
+def test_cli_db_shards_adaptive_on_parity(tmp_path):
+    """Shard-count byte parity with ADAPTIVE SEEDING ON (the default
+    configuration): the sharded seeder psums every decision count over
+    the 'db' axis, so desiredOccs/elongation/abundance behave exactly
+    like the single global index (seeding.SeedConfig.psum_axis).  This
+    closes the round-1 gap where parity held only with adaptive off."""
+    from tests.test_e2e import GYRA, run_cli
+
+    from lambda_tpu.io import fasta
+
+    rng = np.random.default_rng(9)
+    AA = "ARNDCQEGHILKMFPSTWYV"
+    db = tmp_path / "db.fasta"
+    # repetitive content so adaptive elongation actually triggers
+    rep = (GYRA[100:140] * 3).encode()
+    fasta.write_fasta(db, [
+        fasta.SeqRecord("GYRA_ECOLI", GYRA.encode()),
+        fasta.SeqRecord("REPEAT1", rep),
+        fasta.SeqRecord("REPEAT2", rep[20:] + rep[:20]),
+        fasta.SeqRecord("RAND", "".join(rng.choice(list(AA), 200)).encode()),
+    ])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [
+        fasta.SeqRecord("q1", GYRA[95:175].encode()),
+        fasta.SeqRecord("q2", (GYRA[100:140] * 2).encode())])
+    outs = {}
+    for shards in (1, 2, 4):
+        out = tmp_path / f"out{shards}.m8"
+        r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                    "--db-shards", str(shards), "-v", "0")
+        assert r.returncode == 0, r.stderr
+        outs[shards] = out.read_text()
+    assert outs[1] == outs[2] == outs[4]
+    assert outs[1].strip()
+
+
 def test_cli_db_shards_bisulfite_parity(tmp_path):
     """Bisulfite sharded search: fwd/rev matrices differ per frame parity,
     so shard frame bases must stay aligned to subjects (x2 frames).  Three
