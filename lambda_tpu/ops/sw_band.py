@@ -10,23 +10,31 @@ This kernel computes only the diagonal band the widener intended:
 * Window convention: the caller builds a *virtual* subject window such
   that the band is exactly ``d = j - i ∈ [0, D]`` (query position i,
   window position j).  Positions outside the real subject are PAD rank.
-* Layout: band offset ``w = i - j + D`` on the SUBLANE axis (W = D+1
-  padded to a multiple of 8 — typically 24-72 sublanes instead of the
-  rectangle kernel's full query on 128+ lanes), batch on the LANE axis.
-  Moving one subject column keeps the diagonal predecessor in the same
-  (w) slot, pulls E/H from ``w+1``, and runs the F max-plus prefix scan
-  along ascending ``w`` in log2(W) sublane-rolls — the same doubling
-  scan as ops/sw_pallas.py but over the band instead of the query.
-* The substitution image is built on the MXU exactly like the rectangle
-  kernel (one-hot einsum), then SHEARED into band coordinates with a
-  pad+reshape trick (row stride N+1 re-interpretation) — no gathers:
-  ``SUBB[b, j, w] = SUB[b, j, j+w-D] = flat[b, j*(N+1) + w]`` once D
-  junk bytes are prepended.  Junk and out-of-band reads are provably
-  harmless: they are PAD (-128) by construction or masked in-kernel.
+* Default 'lane' layout: band offset ``w = i - j + D`` on the LANE axis
+  with P = 128 // (D+1 padded to 8) alignments PACKED per 128-lane
+  register (wraparound between packs killed by additive -inf masks),
+  batch on sublanes.  Moving one subject column keeps the diagonal
+  predecessor in the same (w) slot, pulls E/H from ``w+1``, and runs
+  the F max-plus prefix scan along ascending ``w`` in log2(Ws)
+  lane-rolls — the same doubling scan as ops/sw_pallas.py but over the
+  band instead of the query, so a 256aa query costs ~40 lane-cells per
+  column instead of 256+.
+* The banded substitution image is built WITHOUT gathers and WITHOUT
+  per-match matmuls: the query ranks are sheared into band coordinates
+  by Ws shifted slices, the per-(b, j) substitution column is packed
+  into uint32 words by one unbatched one-hot matmul + bitcast, and the
+  per-cell score is a K-way select + variable byte extract — all fused
+  elementwise.  (The rectangle-image + stride-shear approach measured
+  3.4 ms of batched tiny-K matmuls + ~4 ms of copies on the flagship
+  shape; this path replaces it.)  Per-row band masks are baked into the
+  image, so the DP inner loop has zero masking.
 * Per-row band widths: each alignment carries its true band size
-  ``D_row <= D`` (w >= D - D_row masked) so results are independent of
-  how alignments are grouped into kernel batches (batch-size/shard
-  determinism, CLAUDE.md conventions).
+  ``D_row <= D`` so results are independent of how alignments are
+  grouped into kernel batches (batch-size/shard determinism, CLAUDE.md
+  conventions).
+* The 'sublane' layout (band on sublanes, LAMBDA_SWB_LAYOUT=sublane) is
+  kept for A/B: its DP measured fastest (0.6 ms) but its image needs a
+  batch-to-minor transpose that costs 10x the DP.
 
 Scoring/gap conventions match ops/sw_pallas.py (search_algo.hpp:226-230).
 """
@@ -153,6 +161,68 @@ def _band_image(q, s, subst_ext8, n_tiles, BTL, D, W, N, JB):
     return subb                                                   # (T,N,W,BTL)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_tiles", "BTL", "D", "W", "N"))
+def _band_image_sub(q, s, d_rows, subst_ext8, n_tiles, BTL, D, W, N):
+    """Banded substitution image in SUBLANE layout (T, N, W, BTL) int8,
+    built WITHOUT any large batch-to-minor transpose: the (tiny) rank
+    arrays are transposed first (B x N int8 ~ 1 MB), the sheared query
+    ranks are W major-axis slices of the transposed buffer, the
+    substitution column bytes come from 4 unbatched one-hot dots (one
+    per byte lane of the packed uint32 words), and the per-cell score is
+    a K-way select + variable byte extract — all in the kernel's own
+    layout.  Per-row band masks are baked in (-128 off-band)."""
+    B = q.shape[0]
+    C = subst_ext8.shape[0]
+    C4 = _ceil(C, 4)
+    K4 = C4 // 4
+    pad_rank = C - 1
+
+    # transposed rank buffers (cheap: int8, ~N*B bytes)
+    qp = jnp.concatenate(
+        [jnp.full((B, D), pad_rank, jnp.int8), q.astype(jnp.int8),
+         jnp.full((B, W), pad_rank, jnp.int8)], axis=1)
+    qpT = qp.T                                                   # (N+D+W, B)
+    sT = s.astype(jnp.int8).T                                    # (N, B)
+
+    # sheared query ranks, sublane layout: QSH[j, w, b] = q[b, j + w - D]
+    qsh = jnp.stack([qpT[w : w + N, :] for w in range(W)], axis=1)
+    qsh = qsh.astype(jnp.int32)                                  # (N, W, B)
+
+    # packed substitution columns, one unbatched dot per byte lane:
+    # tblm[m][k, c_s] = S[4k + m, c_s]
+    iota = jnp.arange(C, dtype=jnp.int32)
+    ohs = (sT[:, :, None] == iota).astype(jnp.bfloat16)          # (N, B, C)
+    tdev = jnp.full((C4, C), jnp.int32(PAD_SCORE8))
+    tdev = tdev.at[:C, :].set(subst_ext8.astype(jnp.int32))
+    words = []
+    for m in range(4):
+        tm = tdev[m::4, :]                                       # (K4, C)
+        pm = jax.lax.dot_general(
+            ohs, tm.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.bfloat16)                 # (N, B, K4)
+        words.append(pm.astype(jnp.int32) & 0xFF)
+    prof = (words[0] | (words[1] << 8) | (words[2] << 16)
+            | (words[3] << 24)).astype(jnp.uint32)               # (N, B, K4)
+
+    # select word + extract byte, broadcast over w
+    word = qsh >> 2                                              # (N, W, B)
+    sel = jnp.zeros((N, W, B), jnp.uint32)
+    for k in range(K4):
+        sel = jnp.where(word == k, prof[:, None, :, k], sel)
+    shift = (3 - (qsh & 3)) << 3
+    subb = (sel.astype(jnp.int32) << shift) >> 24
+    # per-row band mask baked in: valid offsets w in [D - d_row, D]
+    wio = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+    in_band = (wio >= (jnp.int32(D) - d_rows)[None, None, :]) & (wio <= D)
+    subb = jnp.where(in_band, subb, PAD_SCORE8).astype(jnp.int8)
+
+    # (N, W, B) -> (T, N, W, BTL): BTL-contiguous runs, cheap major perm
+    subb = subb.reshape(N, W, n_tiles, BTL).transpose(2, 0, 1, 3)
+    return subb
+
+
 def _lane_geometry(D: int):
     """Lane-layout geometry: per-alignment band width Ws = D+1 padded to
     8, P alignments packed per 128-lane register (dead lanes masked),
@@ -168,7 +238,7 @@ def _lane_geometry(D: int):
 @functools.partial(jax.jit,
                    static_argnames=("n_tiles", "BT", "P", "LW", "D", "Ws",
                                     "N"))
-def _band_image_lane(q, s, subst_ext8, n_tiles, BT, P, LW, D, Ws, N):
+def _band_image_lane(q, s, d_rows, subst_ext8, n_tiles, BT, P, LW, D, Ws, N):
     """Sheared banded substitution image in LANE layout without any
     matmuls over match batches: (T, N, BT, LW) int8 with row
     b = ((t*BT + bt)*P + p) on (sublane bt, lane-group p).
@@ -217,7 +287,11 @@ def _band_image_lane(q, s, subst_ext8, n_tiles, BT, P, LW, D, Ws, N):
         sel = jnp.where(word == k, prof[:, :, k][:, :, None], sel)
     shift = (3 - (qsh & 3)) << 3
     subb = (sel.astype(jnp.int32) << shift) >> 24                    # int8 val
-    subb = subb.astype(jnp.int8)
+    # per-row band mask baked into the image: valid offsets are
+    # w in [D - d_row, D] (the kernel then needs no masking at all)
+    wio = jnp.arange(Ws, dtype=jnp.int32)[None, None, :]
+    in_band = (wio >= (jnp.int32(D) - d_rows)[:, None, None]) & (wio <= D)
+    subb = jnp.where(in_band, subb, PAD_SCORE8).astype(jnp.int8)
 
     subb = subb.reshape(n_tiles, BT, P, N, Ws).transpose(0, 3, 1, 2, 4)
     subb = subb.reshape(n_tiles, N, BT, P * Ws)
@@ -225,6 +299,251 @@ def _band_image_lane(q, s, subst_ext8, n_tiles, BT, P, LW, D, Ws, N):
         subb = jnp.pad(subb, ((0, 0), (0, 0), (0, 0), (0, LW - P * Ws)),
                        constant_values=PAD_SCORE8)
     return subb
+
+
+def _make_band_dirs_kernel(NC: int, Ws: int, LW: int, BT: int,
+                           n_chunks: int, D: int, gap_first: int,
+                           gap_extend: int):
+    """Direction-emitting variant of the lane-layout banded kernel
+    (pass 2 of the two-pass extension, search_algo.hpp:1296): per cell a
+    packed uint8 code in the sw_xla encoding (2-bit H source + E/F
+    extend bits), plus per-(row, lane) best score and best column for
+    the host walk (ops/sw_band.traceback)."""
+    neg = NEG32
+    steps = []
+    st = 1
+    while st < Ws:
+        steps.append(st)
+        st *= 2
+
+    def kernel(sub_ref, dirs_ref, best_ref, bestj_ref, H_ref, E_ref):
+        def roll(x, s):
+            return pltpu.roll(x, shift=s, axis=1)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BT, LW), dimension=1)
+        wloc = lane % Ws
+        ge = jnp.int32(gap_extend)
+        gf = jnp.int32(gap_first)
+        top = wloc == Ws - 1
+        ge_c = jnp.where(top, jnp.int32(neg), ge)
+        gf_c = jnp.where(top, jnp.int32(neg), gf)
+        gf_f = jnp.where(wloc == 0, jnp.int32(neg), gf)
+        c_steps = [jnp.where(wloc < s, jnp.int32(neg),
+                             jnp.int32(max(s * gap_extend, neg)))
+                   for s in steps]
+
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            H_ref[:] = jnp.zeros((BT, LW), jnp.int32)
+            E_ref[:] = jnp.full((BT, LW), jnp.int32(neg))
+            best_ref[0] = jnp.zeros((BT, LW), jnp.int32)
+            bestj_ref[0] = jnp.zeros((BT, LW), jnp.int32)
+
+        def body(j, _):
+            H = H_ref[:]
+            subcol = sub_ref[0, j, :, :].astype(jnp.int32)
+            ea = roll(E_ref[:], LW - 1) + ge_c
+            eb = roll(H, LW - 1) + gf_c
+            E = jnp.maximum(ea, eb)
+            diag = H + subcol
+            Htmp = jnp.maximum(jnp.maximum(diag, E), jnp.int32(0))
+            F = roll(Htmp, 1) + gf_f
+            for s, cs in zip(steps, c_steps):
+                F = jnp.maximum(F, roll(F, s) + cs)
+            Hn = jnp.maximum(Htmp, F)
+
+            # direction code, sw_xla encoding; tie priority diag > E > F
+            pos = Hn > 0
+            code = jnp.where(pos & (Hn == F), jnp.int32(3), 0)
+            code = jnp.where(pos & (Hn == E), jnp.int32(2), code)
+            code = jnp.where(pos & (Hn == diag), jnp.int32(1), code)
+            # extend bits; at pack boundaries the rolled values wrap to a
+            # different alignment — force False there, matching the
+            # masked-NEG semantics of the XLA/native backends
+            code = code | jnp.where((ea >= eb) & ~top, jnp.int32(4), 0)
+            # F-extend: F[i] == F[i-1] + ge with H[i-1] = max(Htmp,F)[i-1]
+            f_ext = (roll(F, 1) + ge) >= \
+                (jnp.maximum(roll(Htmp, 1), roll(F, 1)) + gf)
+            code = code | jnp.where(f_ext & (wloc != 0), jnp.int32(8), 0)
+            dirs_ref[0, j, :, :] = code.astype(jnp.uint8)
+
+            jcol = c * NC + j
+            upd = Hn > best_ref[0]
+            best_ref[0] = jnp.where(upd, Hn, best_ref[0])
+            bestj_ref[0] = jnp.where(upd, jcol, bestj_ref[0])
+            H_ref[:] = Hn
+            E_ref[:] = E
+            return 0
+
+        jax.lax.fori_loop(0, NC, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_tiles", "N", "Ws", "LW", "BT", "NC",
+                                    "D", "gap_first", "gap_extend",
+                                    "interpret"))
+def _dirs_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
+                    gap_extend, interpret):
+    assert N % NC == 0, (N, NC)
+    n_chunks = N // NC
+    kernel = _make_band_dirs_kernel(NC, Ws, LW, BT, n_chunks, D,
+                                    gap_first, gap_extend)
+    dirs, best, bestj = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, N, BT, LW), jnp.uint8),
+                   jax.ShapeDtypeStruct((n_tiles, BT, LW), jnp.int32),
+                   jax.ShapeDtypeStruct((n_tiles, BT, LW), jnp.int32)),
+        grid=(n_tiles, n_chunks),
+        in_specs=[pl.BlockSpec((1, NC, BT, LW), lambda t, c: (t, c, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, NC, BT, LW), lambda t, c: (t, c, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, BT, LW), lambda t, c: (t, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, BT, LW), lambda t, c: (t, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((BT, LW), jnp.int32) for _ in range(2)],
+        interpret=interpret,
+        **({} if interpret else dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024))),
+    )(subb)
+    return dirs, best, bestj
+
+
+def sw_band_align_device(q, s, d_rows, subst_ext8, D: int,
+                         gap_first: int, gap_extend: int,
+                         interpret: bool = False):
+    """Direction-emitting banded pass (lane layout only).  Same inputs
+    as sw_band_score_device; returns (dirs, best, bestj) device arrays
+    for the host walk — see :func:`traceback_banded`."""
+    B, N = q.shape
+    Np, W, BROWS, NC, JB = _plan(N, D, layout="lane")
+    assert Np == N, (N, Np)
+    n_tiles = B // BROWS
+    Ws, P, LW, BT = _lane_geometry(D)
+    subb = _band_image_lane(q, s, d_rows, subst_ext8, n_tiles, BT, P,
+                            LW, D, Ws, N)
+    return _dirs_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D,
+                           int(gap_first), int(gap_extend), interpret)
+
+
+def sw_band_align_pallas(q: np.ndarray, s: np.ndarray, d_rows: np.ndarray,
+                         subst_ext8, gap_first: int, gap_extend: int,
+                         interpret: bool = False):
+    """Host API for the direction-emitting pass: pads like
+    sw_band_score_pallas, runs the dirs kernel, walks each row on host.
+    Returns (scores, traces) in the extend._run_bucketed conventions:
+    traces[i] = (q0, s0, rle-ops) or None for score-0 rows."""
+    B, Mq = q.shape
+    Ns = s.shape[1]
+    D = int(d_rows.max()) if len(d_rows) else 0
+    pad_rank = int(np.asarray(subst_ext8).shape[0]) - 1
+    N, W, BROWS, _, _ = _plan(Ns, D, layout="lane")
+    Ws = _lane_geometry(D)[0]
+    Bp = _ceil(max(B, 1), BROWS)
+
+    qp = np.full((Bp, N), pad_rank, dtype=np.int32)
+    qp[:B, :Mq] = q
+    sp = np.full((Bp, N), pad_rank, dtype=np.int32)
+    sp[:B, :Ns] = s
+    dr = np.zeros(Bp, dtype=np.int32)
+    dr[:B] = d_rows
+
+    if interpret:
+        dev = jax.devices("cpu")[0]
+        put = functools.partial(jax.device_put, device=dev)
+    else:
+        put = jnp.asarray
+    dirs, best, bestj = sw_band_align_device(
+        put(qp), put(sp), put(dr), put(np.asarray(subst_ext8)), D,
+        gap_first, gap_extend, interpret)
+    dirs = np.asarray(dirs)
+    best = np.asarray(best)
+    bestj = np.asarray(bestj)
+    scores = np.zeros(B, dtype=np.int64)
+    traces: list = [None] * B
+    for b in range(B):
+        sc, q0, s0, ops = traceback_banded(dirs, best, bestj, b, D, Ws)
+        scores[b] = sc
+        if sc > 0:
+            traces[b] = (q0, s0, ops)
+    return scores, traces
+
+
+def traceback_banded(dirs: np.ndarray, best: np.ndarray, bestj: np.ndarray,
+                     b: int, D: int, Ws: int):
+    """Walk the packed banded direction bits for alignment row ``b``.
+
+    dirs: (T, N, BT, LW) uint8; best/bestj: (T, BT, LW) int32 from
+    sw_band_align_device (host numpy).  Returns (score, q0, s0, ops)
+    with (q0, s0) 0-based window-relative starts and ops in the
+    sw_xla.traceback conventions ('M'/'D'/'I' run-length list), or
+    score 0 with no ops.  Best-cell tie-breaking reproduces the
+    native/XLA rule: maximum H, then smallest i+j, then smallest i.
+    """
+    T, N, BT, LW = dirs.shape
+    P = LW // Ws
+    t, r = divmod(b, BT * P)
+    bt, p = divmod(r, P)
+    lanes = slice(p * Ws, (p + 1) * Ws)
+    row_best = best[t, bt, lanes]
+    score = int(row_best.max(initial=0))
+    if score <= 0:
+        return 0, 0, 0, []
+    cands = np.nonzero(row_best == score)[0]
+    # end cell per candidate lane w: j = bestj, i = j + w - D (0-based
+    # chars consumed: cell (i, j) means q[0..i], s[0..j] consumed)
+    pick_w, pick_j, pick_key = -1, -1, None
+    for w in cands:
+        j = int(bestj[t, bt, p * Ws + w])
+        i = j + int(w) - D
+        key = (i + j, i)
+        if pick_key is None or key < pick_key:
+            pick_key, pick_w, pick_j = key, int(w), j
+    w, j = pick_w, pick_j
+    ops: list[str] = []
+    state = "H"
+    while True:
+        code = int(dirs[t, j, bt, p * Ws + w]) if (j >= 0 and
+                                                   0 <= w < Ws) else 0
+        if state == "H":
+            h = code & 3
+            if h == 0 or j < 0 or (j + w - D) < 0:
+                break
+            if h == 1:
+                ops.append("M")
+                j -= 1            # w unchanged (diag)
+            elif h == 2:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            ops.append("D")
+            ext = bool(code & 4)
+            j -= 1
+            w += 1
+            state = "E" if ext else "H"
+        else:
+            ops.append("I")
+            ext = bool(code & 8)
+            w -= 1
+            state = "F" if ext else "H"
+
+    i0 = j + w - D + 1            # start coords (0-based, inclusive)
+    s0 = j + 1
+    ops.reverse()
+    rle: list[tuple[str, int]] = []
+    for op in ops:
+        if rle and rle[-1][0] == op:
+            rle[-1] = (op, rle[-1][1] + 1)
+        else:
+            rle.append((op, 1))
+    return score, i0, s0, rle
 
 
 def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
@@ -242,7 +561,7 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
         steps.append(st)
         st *= 2
 
-    def kernel(sub_ref, wmin_ref, out_ref, H_ref, E_ref, best_ref):
+    def kernel(sub_ref, out_ref, H_ref, E_ref, best_ref):
         def roll(x, s):
             return pltpu.roll(x, shift=s, axis=1)
 
@@ -259,8 +578,6 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
         c_steps = [jnp.where(wloc < s, jnp.int32(neg),
                              jnp.int32(max(s * gap_extend, neg)))
                    for s in steps]
-        in_band = (wloc >= wmin_ref[0, :, :]) & (wloc <= D)
-        neg8 = jnp.int32(PAD_SCORE8)
 
         c = pl.program_id(1)
 
@@ -273,7 +590,6 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
         def body(j, _):
             H = H_ref[:]
             subcol = sub_ref[0, j, :, :].astype(jnp.int32)
-            subcol = jnp.where(in_band, subcol, neg8)
             E = jnp.maximum(roll(E_ref[:], LW - 1) + ge_c,
                             roll(H, LW - 1) + gf_c)
             Htmp = jnp.maximum(jnp.maximum(H + subcol, E), jnp.int32(0))
@@ -299,7 +615,7 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
                    static_argnames=("n_tiles", "N", "Ws", "LW", "BT", "NC",
                                     "D", "gap_first", "gap_extend",
                                     "interpret"))
-def _score_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
+def _score_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
                      gap_extend, interpret):
     assert N % NC == 0, (N, NC)
     n_chunks = N // NC
@@ -310,8 +626,6 @@ def _score_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
         out_shape=jax.ShapeDtypeStruct((n_tiles, BT, LW), jnp.int32),
         grid=(n_tiles, n_chunks),
         in_specs=[pl.BlockSpec((1, NC, BT, LW), lambda t, c: (t, c, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, BT, LW), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, BT, LW), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -320,7 +634,7 @@ def _score_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
         **({} if interpret else dict(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024))),
-    )(subb, wmin)
+    )(subb)
     # per-row best: reduce each pack's Ws lanes (dead lanes dropped)
     P = max(1, 128 // Ws) if Ws <= 128 else 1
     return out[:, :, :P * Ws].reshape(n_tiles, BT, P, Ws).max(axis=3)
@@ -335,7 +649,7 @@ def _make_band_kernel(NC: int, W: int, BTL: int, n_chunks: int, D: int,
         steps.append(st)
         st *= 2
 
-    def kernel(sub_ref, wmin_ref, out_ref, H_ref, E_ref, best_ref):
+    def kernel(sub_ref, out_ref, H_ref, E_ref, best_ref):
         def roll_from_below(x, s):
             # y[w] = x[w - s] (wraparound killed by the additive consts)
             return pltpu.roll(x, shift=s, axis=0)
@@ -356,9 +670,6 @@ def _make_band_kernel(NC: int, W: int, BTL: int, n_chunks: int, D: int,
         c_steps = [jnp.where(wio < s, jnp.int32(neg),
                              jnp.int32(max(s * gap_extend, neg)))
                    for s in steps]
-        # band validity: w in [D - D_row, D] per batch lane
-        in_band = (wio >= wmin_ref[0, 0:1, :]) & (wio <= D)
-        neg8 = jnp.int32(PAD_SCORE8)
 
         c = pl.program_id(1)
 
@@ -371,7 +682,6 @@ def _make_band_kernel(NC: int, W: int, BTL: int, n_chunks: int, D: int,
         def body(j, _):
             H = H_ref[:]
             subcol = sub_ref[0, j, :, :].astype(jnp.int32)
-            subcol = jnp.where(in_band, subcol, neg8)
             E = jnp.maximum(roll_from_above(E_ref[:]) + ge_c,
                             roll_from_above(H) + gf_c)
             Htmp = jnp.maximum(jnp.maximum(H + subcol, E), jnp.int32(0))
@@ -396,7 +706,7 @@ def _make_band_kernel(NC: int, W: int, BTL: int, n_chunks: int, D: int,
 @functools.partial(jax.jit,
                    static_argnames=("n_tiles", "N", "W", "BTL", "NC", "D",
                                     "gap_first", "gap_extend", "interpret"))
-def _score_band_padded(subb, wmin, n_tiles, N, W, BTL, NC, D, gap_first,
+def _score_band_padded(subb, n_tiles, N, W, BTL, NC, D, gap_first,
                        gap_extend, interpret):
     assert N % NC == 0, (N, NC)
     n_chunks = N // NC
@@ -406,8 +716,6 @@ def _score_band_padded(subb, wmin, n_tiles, N, W, BTL, NC, D, gap_first,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, BTL), jnp.int32),
         grid=(n_tiles, n_chunks),
         in_specs=[pl.BlockSpec((1, NC, W, BTL), lambda t, c: (t, c, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 8, BTL), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 8, BTL), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -418,7 +726,7 @@ def _score_band_padded(subb, wmin, n_tiles, N, W, BTL, NC, D, gap_first,
         **({} if interpret else dict(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024))),
-    )(subb, wmin)
+    )(subb)
     return out[:, 0, :]
 
 
@@ -438,25 +746,16 @@ def sw_band_score_device(q, s, d_rows, subst_ext8, D: int,
     Np, W, BROWS, NC, JB = _plan(N, D)
     assert Np == N, (N, Np)
     n_tiles = B // BROWS
-    wmin1 = jnp.int32(D) - d_rows
     if _LAYOUT == "lane":
         Ws, P, LW, BT = _lane_geometry(D)
-        subb = _band_image_lane(q, s, subst_ext8, n_tiles, BT, P, LW, D,
-                                Ws, N)
-        wmin = jnp.broadcast_to(
-            wmin1.reshape(n_tiles, BT, P, 1), (n_tiles, BT, P, Ws)
-        ).reshape(n_tiles, BT, P * Ws)
-        if P * Ws < LW:
-            # dead lanes: wmin = Ws keeps them permanently out of band
-            wmin = jnp.pad(wmin, ((0, 0), (0, 0), (0, LW - P * Ws)),
-                           constant_values=Ws)
-        out = _score_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D,
+        subb = _band_image_lane(q, s, d_rows, subst_ext8, n_tiles, BT, P,
+                                LW, D, Ws, N)
+        out = _score_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D,
                                int(gap_first), int(gap_extend), interpret)
     else:
-        subb = _band_image(q, s, subst_ext8, n_tiles, BROWS, D, W, N, JB)
-        wmin = jnp.broadcast_to(wmin1.reshape(n_tiles, 1, BROWS),
-                                (n_tiles, 8, BROWS))
-        out = _score_band_padded(subb, wmin, n_tiles, N, W, BROWS, NC, D,
+        subb = _band_image_sub(q, s, d_rows, subst_ext8, n_tiles, BROWS,
+                               D, W, N)
+        out = _score_band_padded(subb, n_tiles, N, W, BROWS, NC, D,
                                  int(gap_first), int(gap_extend), interpret)
     return out.reshape(B)
 

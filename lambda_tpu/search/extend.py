@@ -260,7 +260,9 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
 
     from .. import native
     use_native = native.get_lib() is not None
-    if use_native and (with_trace or _score_kernel() == "native"):
+    pallas_mode = _use_pallas()
+    if use_native and not pallas_mode and \
+            (with_trace or _score_kernel() == "native"):
         # host path (OpenMP C++, banded, ragged): the traceback pass
         # (search_algo.hpp:1296 equivalent) or the score pass on CPU
         # backends.  Identical banded semantics to the device kernels.
@@ -287,7 +289,7 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
         group_keys.setdefault((int(qb[i]), int(db[i]), bool(rev[i])),
                               []).append(i)
 
-    use_pallas = not with_trace and _use_pallas()
+    use_pallas = pallas_mode
     if use_pallas:
         from ..ops import sw_band
         e8_fwd = sw_pallas.ext8_from_ext32(subst_ext_fwd)
@@ -307,7 +309,17 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
             qarr[bi, : qlen[i]] = q_of(i)
             sarr[bi, : wlen[i]] = s_of(i)
             darr[bi] = d_row[i]
-        if with_trace:
+        if with_trace and use_pallas:
+            # device traceback: banded direction bits emitted by the
+            # Pallas kernel, walked on host (search_algo.hpp:1296; no
+            # native-lib dependency on the correctness path)
+            sc, tr = sw_band.sw_band_align_pallas(
+                qarr, sarr, darr, e8_rev if r else e8_fwd,
+                gap_first, gap_extend)
+            for bi2, i in enumerate(idxs):
+                scores[i] = sc[bi2]
+                traces[i] = tr[bi2]
+        elif with_trace:
             mat = dev_rev if r else dev_fwd
             best, bi_, bj_, dirs = sw_xla.sw_align_batch(
                 jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first,
