@@ -62,20 +62,38 @@ def main() -> None:
 
         B = opt.query_batch_size
         batches = [qs[i:i + B] for i in range(0, len(qs), B)]
+        # pass 1 warms/compiles EVERY batch's bucket shapes; pass 2 is
+        # the steady-state measurement (remote compiles are minutes per
+        # shape and must not pollute the throughput number)
+        warm = StatsHolder()
+        for b in batches:
+            ctx.process_batch(b, opt.search_opts, warm)
         st = StatsHolder()
-        ctx.process_batch(batches[0], opt.search_opts, st)  # warm/compile
         t0 = time.perf_counter()
         n_done = 0
         for b in batches:
             ctx.process_batch(b, opt.search_opts, st)
             n_done += len(b)
         dt = time.perf_counter() - t0
+        tail = st.time_extend_trace + st.time_write
+        total_phase = (st.time_seed + st.time_locate + st.time_merge
+                       + st.time_extend + st.time_extend_trace
+                       + st.time_write)
         print(json.dumps({
             "metric": "searchp queries/s/chip (steady state)",
             "value": round(n_done / dt, 2),
             "unit": "queries/s",
             "n_queries": n_done,
             "db_residues": n_db * 400,
+            "phase_s": {
+                "seed": round(st.time_seed, 3),
+                "locate": round(st.time_locate, 3),
+                "merge": round(st.time_merge, 3),
+                "extend": round(st.time_extend, 3),
+                "extend_trace": round(st.time_extend_trace, 3),
+                "write": round(st.time_write, 3),
+            },
+            "trace_write_frac": round(tail / max(total_phase, 1e-9), 3),
         }))
 
 

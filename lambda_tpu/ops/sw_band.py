@@ -97,6 +97,10 @@ def _plan(Ns: int, D: int, layout: str | None = None):
         W = Ws
         BROWS = BT * P
         bytes_per_col = BT * LW
+    elif layout == "sub2":
+        W = band_pad(D)
+        BROWS = lane_tile(W)
+        bytes_per_col = (W + 32) * BROWS   # int8 ranks + 8 uint32 words
     else:
         W = band_pad(D)
         BROWS = lane_tile(W)
@@ -211,8 +215,15 @@ def _band_image_sub(q, s, d_rows, subst_ext8, n_tiles, BTL, D, W, N):
     sel = jnp.zeros((N, W, B), jnp.uint32)
     for k in range(K4):
         sel = jnp.where(word == k, prof[:, None, :, k], sel)
-    shift = (3 - (qsh & 3)) << 3
-    subb = (sel.astype(jnp.int32) << shift) >> 24
+    # STATIC shifts only: per-element (variable) shift amounts lower
+    # catastrophically on TPU (measured ~10x the expected op cost)
+    seli = sel.astype(jnp.int32)
+    mby = qsh & 3
+    byte = jnp.where(mby == 0, seli & 0xFF,
+                     jnp.where(mby == 1, (seli >> 8) & 0xFF,
+                               jnp.where(mby == 2, (seli >> 16) & 0xFF,
+                                         (seli >> 24) & 0xFF)))
+    subb = ((byte + 128) & 0xFF) - 128
     # per-row band mask baked in: valid offsets w in [D - d_row, D]
     wio = jnp.arange(W, dtype=jnp.int32)[None, :, None]
     in_band = (wio >= (jnp.int32(D) - d_rows)[None, None, :]) & (wio <= D)
@@ -221,6 +232,161 @@ def _band_image_sub(q, s, d_rows, subst_ext8, n_tiles, BTL, D, W, N):
     # (N, W, B) -> (T, N, W, BTL): BTL-contiguous runs, cheap major perm
     subb = subb.reshape(N, W, n_tiles, BTL).transpose(2, 0, 1, 3)
     return subb
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_tiles", "BTL", "D", "W", "N"))
+def _qsh_prof_sub(q, s, d_rows, subst_ext8, n_tiles, BTL, D, W, N):
+    """Inputs for the fused-image sublane kernel: sheared+masked query
+    ranks QSH (T, N, W, BTL) int8 (off-band positions set to PAD rank,
+    which scores -128 against everything) and packed substitution
+    columns PROF (T, N, 8, BTL) uint32 (word k holds scores
+    S[4k..4k+3, s_bj]).  All built from cheap transposed-rank slices and
+    K4 unbatched one-hot dots whose outputs land directly in kernel
+    layout — the per-cell table lookup itself happens IN the kernel."""
+    B = q.shape[0]
+    C = subst_ext8.shape[0]
+    C4 = _ceil(C, 4)
+    K4 = C4 // 4
+    pad_rank = C - 1
+
+    qp = jnp.concatenate(
+        [jnp.full((B, D), pad_rank, jnp.int8), q.astype(jnp.int8),
+         jnp.full((B, W), pad_rank, jnp.int8)], axis=1)
+    qpT = qp.T                                                   # (N+D+W, B)
+    qsh = jnp.stack([qpT[w : w + N, :] for w in range(W)], axis=1)  # N,W,B
+    # off-band -> PAD rank (bakes the per-row band mask into the ranks)
+    wio = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+    in_band = (wio >= (jnp.int32(D) - d_rows)[None, None, :]) & (wio <= D)
+    qsh = jnp.where(in_band, qsh, jnp.int8(pad_rank))
+    qsh = qsh.reshape(N, W, n_tiles, BTL).transpose(2, 0, 1, 3)  # T,N,W,BTL
+
+    sT = s.astype(jnp.int8).T                                    # (N, B)
+    iota = jnp.arange(C, dtype=jnp.int32)
+    ohs = (sT[:, :, None] == iota).astype(jnp.bfloat16)          # (N, B, C)
+    tdev = jnp.full((C4, C), jnp.int32(PAD_SCORE8))
+    tdev = tdev.at[:C, :].set(subst_ext8.astype(jnp.int32))
+    planes = []
+    for m in range(4):
+        tm = tdev[m::4, :].astype(jnp.bfloat16)                  # (K4, C)
+        pm = jax.lax.dot_general(
+            tm, ohs, dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.bfloat16)                 # (K4, N, B)
+        planes.append(pm.astype(jnp.int32) & 0xFF)
+    prof = (planes[0] | (planes[1] << 8) | (planes[2] << 16)
+            | (planes[3] << 24)).astype(jnp.uint32)              # (K4, N, B)
+    if K4 < 8:
+        prof = jnp.pad(prof, ((0, 8 - K4), (0, 0), (0, 0)))
+    prof = prof.reshape(8, N, n_tiles, BTL).transpose(2, 1, 0, 3)
+    return qsh, prof                                             # T,N,8,BTL
+
+
+def _make_band_kernel_sub2(NC: int, W: int, BTL: int, n_chunks: int,
+                           D: int, K4: int, gap_first: int,
+                           gap_extend: int):
+    """Sublane-band DP with the substitution lookup fused in: per column
+    the kernel selects the packed profile word by the query rank and
+    extracts the signed byte (K4-way select + variable shifts), then
+    runs the usual banded recurrences.  Avoids materializing any
+    substitution image in HBM."""
+    neg = NEG32
+    steps = []
+    st = 1
+    while st < W:
+        steps.append(st)
+        st *= 2
+
+    def kernel(qsh_ref, prof_ref, out_ref, H_ref, E_ref, best_ref):
+        def roll_from_below(x, s):
+            return pltpu.roll(x, shift=s, axis=0)
+
+        def roll_from_above(x):
+            return pltpu.roll(x, shift=W - 1, axis=0)
+
+        wio = jax.lax.broadcasted_iota(jnp.int32, (W, BTL), dimension=0)
+        ge = jnp.int32(gap_extend)
+        gf = jnp.int32(gap_first)
+        top = wio == W - 1
+        ge_c = jnp.where(top, jnp.int32(neg), ge)
+        gf_c = jnp.where(top, jnp.int32(neg), gf)
+        gf_f = jnp.where(wio == 0, jnp.int32(neg), gf)
+        c_steps = [jnp.where(wio < s, jnp.int32(neg),
+                             jnp.int32(max(s * gap_extend, neg)))
+                   for s in steps]
+
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            H_ref[:] = jnp.zeros((W, BTL), jnp.int32)
+            E_ref[:] = jnp.full((W, BTL), jnp.int32(neg))
+            best_ref[:] = jnp.zeros((W, BTL), jnp.int32)
+
+        def body(j, _):
+            qsh = qsh_ref[0, j, :, :].astype(jnp.int32)          # (W, BTL)
+            word = qsh >> 2
+            sel = jnp.zeros((W, BTL), jnp.uint32)
+            for k in range(K4):
+                pk = prof_ref[0, j, k : k + 1, :]                # (1, BTL)
+                sel = jnp.where(word == k, pk, sel)
+            seli = sel.astype(jnp.int32)
+            mby = qsh & 3
+            byte = jnp.where(mby == 0, seli & 0xFF,
+                             jnp.where(mby == 1, (seli >> 8) & 0xFF,
+                                       jnp.where(mby == 2,
+                                                 (seli >> 16) & 0xFF,
+                                                 (seli >> 24) & 0xFF)))
+            subcol = ((byte + 128) & 0xFF) - 128
+
+            H = H_ref[:]
+            E = jnp.maximum(roll_from_above(E_ref[:]) + ge_c,
+                            roll_from_above(H) + gf_c)
+            Htmp = jnp.maximum(jnp.maximum(H + subcol, E), jnp.int32(0))
+            F = roll_from_below(Htmp, 1) + gf_f
+            for s, cs in zip(steps, c_steps):
+                F = jnp.maximum(F, roll_from_below(F, s) + cs)
+            Hn = jnp.maximum(Htmp, F)
+            H_ref[:] = Hn
+            E_ref[:] = E
+            best_ref[:] = jnp.maximum(best_ref[:], Hn)
+            return 0
+
+        jax.lax.fori_loop(0, NC, body, 0)
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            out_ref[0, 0, :] = jnp.max(best_ref[:], axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_tiles", "N", "W", "BTL", "NC", "D",
+                                    "K4", "gap_first", "gap_extend",
+                                    "interpret"))
+def _score_band_sub2(qsh, prof, n_tiles, N, W, BTL, NC, D, K4, gap_first,
+                     gap_extend, interpret):
+    assert N % NC == 0, (N, NC)
+    n_chunks = N // NC
+    kernel = _make_band_kernel_sub2(NC, W, BTL, n_chunks, D, K4,
+                                    gap_first, gap_extend)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, BTL), jnp.int32),
+        grid=(n_tiles, n_chunks),
+        in_specs=[pl.BlockSpec((1, NC, W, BTL), lambda t, c: (t, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, NC, 8, BTL), lambda t, c: (t, c, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, BTL), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((W, BTL), jnp.int32) for _ in range(3)],
+        interpret=interpret,
+        **({} if interpret else dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024))),
+    )(qsh, prof)
+    return out[:, 0, :]
 
 
 def _lane_geometry(D: int):
@@ -286,7 +452,7 @@ def _band_image_lane(q, s, d_rows, subst_ext8, n_tiles, BT, P, LW, D, Ws, N):
     for k in range(K4):
         sel = jnp.where(word == k, prof[:, :, k][:, :, None], sel)
     shift = (3 - (qsh & 3)) << 3
-    subb = (sel.astype(jnp.int32) << shift) >> 24                    # int8 val
+    subb = (sel.astype(jnp.int32) << shift) >> 24
     # per-row band mask baked into the image: valid offsets are
     # w in [D - d_row, D] (the kernel then needs no masking at all)
     wio = jnp.arange(Ws, dtype=jnp.int32)[None, None, :]
@@ -415,17 +581,38 @@ def _dirs_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
     return dirs, best, bestj
 
 
+def trace_tile(B: int, D: int) -> int:
+    """Batch sublanes for the TRACE pass: sized to the survivor count
+    (pass 2 runs on few rows, and the dirs tensor is D2H-transferred —
+    on remote-attached chips the link is slow, so a full 512-sublane
+    tile for a handful of survivors costs seconds)."""
+    Ws, P, LW, BT0 = _lane_geometry(D)
+    need = -(-max(B, 1) // P)
+    bt = 8
+    while bt < need and bt < BT0:
+        bt *= 2
+    return min(bt, BT0)
+
+
 def sw_band_align_device(q, s, d_rows, subst_ext8, D: int,
                          gap_first: int, gap_extend: int,
-                         interpret: bool = False):
+                         interpret: bool = False, bt: int | None = None):
     """Direction-emitting banded pass (lane layout only).  Same inputs
-    as sw_band_score_device; returns (dirs, best, bestj) device arrays
-    for the host walk — see :func:`traceback_banded`."""
+    as sw_band_score_device (B must be a multiple of bt*P); returns
+    (dirs, best, bestj) device arrays for the host walk — see
+    :func:`traceback_banded`."""
     B, N = q.shape
-    Np, W, BROWS, NC, JB = _plan(N, D, layout="lane")
-    assert Np == N, (N, Np)
-    n_tiles = B // BROWS
     Ws, P, LW, BT = _lane_geometry(D)
+    if bt is not None:
+        BT = bt
+    BROWS = BT * P
+    NC = max(2 * 1024 * 1024 // (BT * LW), 8)
+    NC = 1 << int(np.log2(NC))
+    NC = min(NC, N)
+    while NC > 8 and N % NC:
+        NC //= 2
+    assert B % BROWS == 0 and N % NC == 0, (B, BROWS, N, NC)
+    n_tiles = B // BROWS
     subb = _band_image_lane(q, s, d_rows, subst_ext8, n_tiles, BT, P,
                             LW, D, Ws, N)
     return _dirs_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D,
@@ -443,8 +630,10 @@ def sw_band_align_pallas(q: np.ndarray, s: np.ndarray, d_rows: np.ndarray,
     Ns = s.shape[1]
     D = int(d_rows.max()) if len(d_rows) else 0
     pad_rank = int(np.asarray(subst_ext8).shape[0]) - 1
-    N, W, BROWS, _, _ = _plan(Ns, D, layout="lane")
-    Ws = _lane_geometry(D)[0]
+    N, W, _, _, _ = _plan(Ns, D, layout="lane")
+    Ws, P, _, _ = _lane_geometry(D)
+    BT = trace_tile(B, D)
+    BROWS = BT * P
     Bp = _ceil(max(B, 1), BROWS)
 
     qp = np.full((Bp, N), pad_rank, dtype=np.int32)
@@ -461,7 +650,7 @@ def sw_band_align_pallas(q: np.ndarray, s: np.ndarray, d_rows: np.ndarray,
         put = jnp.asarray
     dirs, best, bestj = sw_band_align_device(
         put(qp), put(sp), put(dr), put(np.asarray(subst_ext8)), D,
-        gap_first, gap_extend, interpret)
+        gap_first, gap_extend, interpret, bt=BT)
     dirs = np.asarray(dirs)
     best = np.asarray(best)
     bestj = np.asarray(bestj)
@@ -751,6 +940,12 @@ def sw_band_score_device(q, s, d_rows, subst_ext8, D: int,
         subb = _band_image_lane(q, s, d_rows, subst_ext8, n_tiles, BT, P,
                                 LW, D, Ws, N)
         out = _score_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D,
+                               int(gap_first), int(gap_extend), interpret)
+    elif _LAYOUT == "sub2":
+        K4 = _ceil(subst_ext8.shape[0], 4) // 4
+        qsh, prof = _qsh_prof_sub(q, s, d_rows, subst_ext8, n_tiles,
+                                  BROWS, D, W, N)
+        out = _score_band_sub2(qsh, prof, n_tiles, N, W, BROWS, NC, D, K4,
                                int(gap_first), int(gap_extend), interpret)
     else:
         subb = _band_image_sub(q, s, d_rows, subst_ext8, n_tiles, BROWS,
