@@ -62,6 +62,11 @@ _BTL_CAP = int(os.environ.get("LAMBDA_SWB_BTL", "1024"))
 # the flagship shape — kept for A/B).
 _LAYOUT = os.environ.get("LAMBDA_SWB_LAYOUT", "lane")
 _BT_CAP = int(os.environ.get("LAMBDA_SWB_BT", "512"))
+# optional BLAST-style X-drop early exit in the score kernel: terminate a
+# tile's column sweep once every alignment's running score is X below its
+# own best.  OFF by default (0) — exact band semantics; turning it on can
+# drop alignments that restart after a deep trough (PARITY.md).
+_XDROP = int(os.environ.get("LAMBDA_SW_XDROP", "0"))
 
 
 def _ceil(x: int, m: int) -> int:
@@ -737,7 +742,7 @@ def traceback_banded(dirs: np.ndarray, best: np.ndarray, bestj: np.ndarray,
 
 def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
                            n_chunks: int, D: int, gap_first: int,
-                           gap_extend: int):
+                           gap_extend: int, x_drop: int = 0):
     """Banded DP, lane layout: per column the band offset w lives on the
     lane axis (lane % Ws), batch on sublanes, P = LW//Ws alignments per
     lane register.  Rolls are LANE rolls (the proven-fast primitive of
@@ -750,7 +755,7 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
         steps.append(st)
         st *= 2
 
-    def kernel(sub_ref, out_ref, H_ref, E_ref, best_ref):
+    def kernel(sub_ref, out_ref, H_ref, E_ref, best_ref, *alive):
         def roll(x, s):
             return pltpu.roll(x, shift=s, axis=1)
 
@@ -775,6 +780,8 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
             H_ref[:] = jnp.zeros((BT, LW), jnp.int32)
             E_ref[:] = jnp.full((BT, LW), jnp.int32(neg))
             best_ref[:] = jnp.zeros((BT, LW), jnp.int32)
+            if x_drop > 0:
+                alive[0][0, 0] = jnp.int32(1)
 
         def body(j, _):
             H = H_ref[:]
@@ -791,7 +798,24 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
             best_ref[:] = jnp.maximum(best_ref[:], Hn)
             return 0
 
-        jax.lax.fori_loop(0, NC, body, 0)
+        if x_drop > 0:
+            # X-drop masked early-exit (BLAST-style extension
+            # termination, the reference's *intent* for banded
+            # extension): once EVERY alignment in the tile has its
+            # running scores X below its own best, later columns are
+            # skipped.  Changes results only for alignments that would
+            # restart after a deep trough (off by default).
+            @pl.when(alive[0][0, 0] != 0)
+            def _():
+                jax.lax.fori_loop(0, NC, body, 0)
+                row_best = jnp.max(best_ref[:], axis=1, keepdims=True)
+                cur = jnp.maximum(H_ref[:], E_ref[:])
+                still = (cur >= row_best - jnp.int32(x_drop)) &                     (row_best > 0)
+                any_alive = jnp.max(jnp.where(still, 1, 0))
+                seed_phase = jnp.where(jnp.max(row_best) == 0, 1, 0)
+                alive[0][0, 0] = jnp.maximum(any_alive, seed_phase)
+        else:
+            jax.lax.fori_loop(0, NC, body, 0)
 
         @pl.when(c == n_chunks - 1)
         def _():
@@ -803,13 +827,16 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
 @functools.partial(jax.jit,
                    static_argnames=("n_tiles", "N", "Ws", "LW", "BT", "NC",
                                     "D", "gap_first", "gap_extend",
-                                    "interpret"))
+                                    "interpret", "x_drop"))
 def _score_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
-                     gap_extend, interpret):
+                     gap_extend, interpret, x_drop=0):
     assert N % NC == 0, (N, NC)
     n_chunks = N // NC
     kernel = _make_band_kernel_lane(NC, Ws, LW, BT, n_chunks, D,
-                                    gap_first, gap_extend)
+                                    gap_first, gap_extend, x_drop)
+    scratch = [pltpu.VMEM((BT, LW), jnp.int32) for _ in range(3)]
+    if x_drop > 0:
+        scratch.append(pltpu.SMEM((1, 1), jnp.int32))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_tiles, BT, LW), jnp.int32),
@@ -818,7 +845,7 @@ def _score_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, BT, LW), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((BT, LW), jnp.int32) for _ in range(3)],
+        scratch_shapes=scratch,
         interpret=interpret,
         **({} if interpret else dict(
             compiler_params=pltpu.CompilerParams(
@@ -919,6 +946,139 @@ def _score_band_padded(subb, n_tiles, N, W, BTL, NC, D, gap_first,
     return out[:, 0, :]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_tiles", "BTL", "D", "W", "N"))
+def _band_image_sub3(q, s, d_rows, subst_ext8, n_tiles, BTL, D, W, N):
+    """Banded image for the transpose-in-kernel sublane DP: (T, N, BTL,
+    W) int8 — batch stays MAJOR of the last two dims so the XLA-side
+    permute is the cheap rect-kernel pattern; the kernel transposes each
+    (BTL, W) column block to (W, BTL) itself (one relayout per column
+    instead of nine cross-lane rolls)."""
+    B = q.shape[0]
+    C = subst_ext8.shape[0]
+    C4 = _ceil(C, 4)
+    K4 = C4 // 4
+    pad_rank = C - 1
+
+    qp = jnp.concatenate(
+        [jnp.full((B, D), pad_rank, jnp.int8), q.astype(jnp.int8),
+         jnp.full((B, W), pad_rank, jnp.int8)], axis=1)
+    qsh = jnp.stack([qp[:, w : w + N] for w in range(W)], axis=2)
+    qsh = qsh.astype(jnp.int32)                                  # (B, N, W)
+
+    tbl = jnp.full((C4, C), jnp.int8(PAD_SCORE8))
+    tbl = tbl.at[:C, :].set(subst_ext8.astype(jnp.int8))
+    iota = jnp.arange(C, dtype=jnp.int32)
+    ohs = (s[:, :, None] == iota).astype(jnp.bfloat16)
+    prof = jax.lax.dot_general(
+        ohs, tbl.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.bfloat16)
+    prof = jax.lax.bitcast_convert_type(
+        prof.astype(jnp.int8).reshape(B, N, K4, 4), jnp.uint32)
+
+    word = qsh >> 2
+    sel = jnp.zeros((B, N, W), jnp.uint32)
+    for k in range(K4):
+        sel = jnp.where(word == k, prof[:, :, k][:, :, None], sel)
+    shift = (3 - (qsh & 3)) << 3
+    subb = (sel.astype(jnp.int32) << shift) >> 24
+    wio = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    in_band = (wio >= (jnp.int32(D) - d_rows)[:, None, None]) & (wio <= D)
+    subb = jnp.where(in_band, subb, PAD_SCORE8).astype(jnp.int8)
+
+    return subb.reshape(n_tiles, BTL, N, W).transpose(0, 2, 1, 3)
+
+
+def _make_band_kernel_sub3(NC: int, W: int, BTL: int, n_chunks: int,
+                           D: int, gap_first: int, gap_extend: int):
+    """Sublane-band DP whose input arrives batch-major: each column's
+    (BTL, W) int8 block is transposed to (W, BTL) in-kernel, then the
+    recurrences use SUBLANE rolls (measured ~5x cheaper than lane rolls
+    on v5e)."""
+    neg = NEG32
+    steps = []
+    st = 1
+    while st < W:
+        steps.append(st)
+        st *= 2
+
+    def kernel(sub_ref, out_ref, H_ref, E_ref, best_ref):
+        def roll_from_below(x, s):
+            return pltpu.roll(x, shift=s, axis=0)
+
+        def roll_from_above(x):
+            return pltpu.roll(x, shift=W - 1, axis=0)
+
+        wio = jax.lax.broadcasted_iota(jnp.int32, (W, BTL), dimension=0)
+        ge = jnp.int32(gap_extend)
+        gf = jnp.int32(gap_first)
+        top = wio == W - 1
+        ge_c = jnp.where(top, jnp.int32(neg), ge)
+        gf_c = jnp.where(top, jnp.int32(neg), gf)
+        gf_f = jnp.where(wio == 0, jnp.int32(neg), gf)
+        c_steps = [jnp.where(wio < s, jnp.int32(neg),
+                             jnp.int32(max(s * gap_extend, neg)))
+                   for s in steps]
+
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            H_ref[:] = jnp.zeros((W, BTL), jnp.int32)
+            E_ref[:] = jnp.full((W, BTL), jnp.int32(neg))
+            best_ref[:] = jnp.zeros((W, BTL), jnp.int32)
+
+        def body(j, _):
+            H = H_ref[:]
+            subcol = sub_ref[0, j, :, :].astype(jnp.int32).T     # (W, BTL)
+            E = jnp.maximum(roll_from_above(E_ref[:]) + ge_c,
+                            roll_from_above(H) + gf_c)
+            Htmp = jnp.maximum(jnp.maximum(H + subcol, E), jnp.int32(0))
+            F = roll_from_below(Htmp, 1) + gf_f
+            for s, cs in zip(steps, c_steps):
+                F = jnp.maximum(F, roll_from_below(F, s) + cs)
+            Hn = jnp.maximum(Htmp, F)
+            H_ref[:] = Hn
+            E_ref[:] = E
+            best_ref[:] = jnp.maximum(best_ref[:], Hn)
+            return 0
+
+        jax.lax.fori_loop(0, NC, body, 0)
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            out_ref[0, 0, :] = jnp.max(best_ref[:], axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_tiles", "N", "W", "BTL", "NC", "D",
+                                    "gap_first", "gap_extend", "interpret"))
+def _score_band_sub3(subb, n_tiles, N, W, BTL, NC, D, gap_first,
+                     gap_extend, interpret):
+    assert N % NC == 0, (N, NC)
+    n_chunks = N // NC
+    kernel = _make_band_kernel_sub3(NC, W, BTL, n_chunks, D, gap_first,
+                                    gap_extend)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, BTL), jnp.int32),
+        grid=(n_tiles, n_chunks),
+        in_specs=[pl.BlockSpec((1, NC, BTL, W), lambda t, c: (t, c, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, BTL), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((W, BTL), jnp.int32) for _ in range(3)],
+        interpret=interpret,
+        **({} if interpret else dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024))),
+    )(subb)
+    return out[:, 0, :]
+
+
 def pad_cols(Ns: int, D: int) -> int:
     """Window padding the kernel needs for band size D."""
     return _plan(Ns, D)[0]
@@ -940,12 +1100,18 @@ def sw_band_score_device(q, s, d_rows, subst_ext8, D: int,
         subb = _band_image_lane(q, s, d_rows, subst_ext8, n_tiles, BT, P,
                                 LW, D, Ws, N)
         out = _score_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D,
-                               int(gap_first), int(gap_extend), interpret)
+                               int(gap_first), int(gap_extend), interpret,
+                               x_drop=_XDROP)
     elif _LAYOUT == "sub2":
         K4 = _ceil(subst_ext8.shape[0], 4) // 4
         qsh, prof = _qsh_prof_sub(q, s, d_rows, subst_ext8, n_tiles,
                                   BROWS, D, W, N)
         out = _score_band_sub2(qsh, prof, n_tiles, N, W, BROWS, NC, D, K4,
+                               int(gap_first), int(gap_extend), interpret)
+    elif _LAYOUT == "sub3":
+        subb = _band_image_sub3(q, s, d_rows, subst_ext8, n_tiles, BROWS,
+                                D, W, N)
+        out = _score_band_sub3(subb, n_tiles, N, W, BROWS, NC, D,
                                int(gap_first), int(gap_extend), interpret)
     else:
         subb = _band_image_sub(q, s, d_rows, subst_ext8, n_tiles, BROWS,
