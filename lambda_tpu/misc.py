@@ -138,10 +138,69 @@ def strip_error_prefix(e: BaseException | str) -> str:
     return msg[7:] if msg.startswith("ERROR: ") else msg
 
 
+class _ParallelGzWriter:
+    """Streaming gzip writer: buffers ~16 MB and emits each flush as a
+    complete gzip member compressed by the native parallel compressor
+    (multi-member gzip is valid and what pigz/bgzip readers expect).
+    The threaded-compression equivalent of the reference's bio::io
+    transparent_ostream threads (P6; mkindex.cpp:241).  Deterministic:
+    fixed member/chunk sizes, independent of thread count."""
+
+    MEMBER = 16 << 20
+
+    def __init__(self, path, mode: str):
+        self._fh = open(path, "wb")
+        self._text = "b" not in mode
+        self._buf: list = []
+        self._n = 0
+
+    def write(self, s) -> int:
+        b = s.encode("ascii") if self._text else s
+        self._buf.append(b)
+        self._n += len(b)
+        if self._n >= self.MEMBER:
+            self._flush_member()
+        return len(s)
+
+    def _flush_member(self) -> None:
+        from . import native
+
+        data = b"".join(self._buf)
+        self._buf = []
+        self._n = 0
+        comp = native.gzip_compress(data)
+        if comp is None:            # native lib unavailable mid-run
+            import gzip
+
+            comp = gzip.compress(data, 6, mtime=0)
+        self._fh.write(comp)
+
+    def flush(self) -> None:
+        pass  # members are flushed by size; partial flushes would
+        # make output depend on call pattern
+
+    def close(self) -> None:
+        if self._fh.closed:
+            return
+        self._flush_member()
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
 def open_output(path, mode: str = "wt"):
-    """Open an output file, compressing by extension (.gz / .bz2)."""
+    """Open an output file, compressing by extension (.gz / .bz2).
+    .gz uses the native parallel compressor when available (P6)."""
     sp = str(path)
     if sp.endswith(".gz"):
+        from . import native
+
+        if native.get_lib() is not None:
+            return _ParallelGzWriter(sp, mode)
         import gzip
 
         return gzip.open(sp, mode)

@@ -104,6 +104,10 @@ def get_lib():
     lib.bgzf_compress_block.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32,
                                         u8p, ctypes.c_int32]
     lib.bgzf_compress_block.restype = ctypes.c_int32
+    lib.gzip_compress_parallel.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        u8p, ctypes.c_int64]
+    lib.gzip_compress_parallel.restype = ctypes.c_int64
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.merge_passes.argtypes = [i64p] * 8 + [u8p, ctypes.c_int64]
     lib.merge_passes.restype = None
@@ -206,6 +210,27 @@ def sw_traceback_batch(q_list, s_list, subst: np.ndarray,
                 rle.append((ch, 1))
         traces.append((int(q0[b]), int(s0[b]), rle))
     return score.astype(np.int64), traces
+
+
+def gzip_compress(data: bytes, level: int = 6,
+                  chunk: int = 1 << 20) -> bytes | None:
+    """One complete gzip member, chunks deflated in parallel (OpenMP;
+    pigz-style independent chunks — the threaded-compression equivalent
+    of the reference's bio::io transparent_ostream threads).  Output is
+    deterministic for a fixed chunk size regardless of thread count.
+    Returns None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = (np.frombuffer(data, dtype=np.uint8) if len(data)
+           else np.zeros(1, dtype=np.uint8))
+    out = np.zeros(len(data) + len(data) // 2 + 4096, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.gzip_compress_parallel(
+        _ptr(src, u8p), len(data), chunk, level, _ptr(out, u8p), len(out))
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 def bgzf_compress_block(data: bytes, level: int = 6) -> bytes | None:

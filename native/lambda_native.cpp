@@ -397,4 +397,76 @@ int32_t bgzf_compress_block(const uint8_t* data, int32_t len, int32_t level,
     return bsize;
 }
 
+// ---------------------------------------------------------------------------
+// Parallel gzip member (pigz-style independent chunks): each chunk is
+// raw-deflated independently (ending on a Z_FULL_FLUSH boundary, the
+// last with Z_FINISH), so OpenMP threads compress chunks concurrently
+// and the concatenation is one VALID gzip member.  The reference uses
+// bio::io's threaded transparent_ostream for the same purpose
+// (mkindex.cpp:241, search output streams).  Deterministic for a fixed
+// chunk size regardless of thread count.  Returns bytes written or -1.
+// ---------------------------------------------------------------------------
+
+int64_t gzip_compress_parallel(const uint8_t* data, int64_t len,
+                               int32_t chunk, int32_t level,
+                               uint8_t* out, int64_t out_cap) {
+    if (chunk <= 0) chunk = 1 << 20;
+    const int64_t n_chunks = len > 0 ? (len + chunk - 1) / chunk : 1;
+    std::vector<std::vector<uint8_t>> bufs(n_chunks);
+    std::vector<uint32_t> crcs(n_chunks, 0);
+    std::vector<int> ok(n_chunks, 1);
+
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t i = 0; i < n_chunks; ++i) {
+        const uint8_t* p = data + i * chunk;
+        const int64_t  n = std::min<int64_t>(chunk, len - i * chunk);
+        z_stream zs;
+        std::memset(&zs, 0, sizeof(zs));
+        if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                         Z_DEFAULT_STRATEGY) != Z_OK) {
+            ok[i] = 0;
+            continue;
+        }
+        bufs[i].resize(deflateBound(&zs, (uLong)std::max<int64_t>(n, 1))
+                       + 64);
+        zs.next_in = const_cast<uint8_t*>(p);
+        zs.avail_in = (uInt)n;
+        zs.next_out = bufs[i].data();
+        zs.avail_out = (uInt)bufs[i].size();
+        const int flush = (i == n_chunks - 1) ? Z_FINISH : Z_FULL_FLUSH;
+        const int rc = deflate(&zs, flush);
+        if ((flush == Z_FINISH && rc != Z_STREAM_END) ||
+            (flush != Z_FINISH && rc != Z_OK)) {
+            ok[i] = 0;
+        }
+        bufs[i].resize(zs.total_out);
+        deflateEnd(&zs);
+        crcs[i] = crc32(0, p, (uInt)n);
+    }
+    for (int64_t i = 0; i < n_chunks; ++i)
+        if (!ok[i]) return -1;
+
+    int64_t total = 10 + 8;
+    for (auto& b : bufs) total += (int64_t)b.size();
+    if (total > out_cap) return -1;
+    uint8_t* w = out;
+    const uint8_t hdr[10] = {0x1f, 0x8b, 8, 0, 0, 0, 0, 0, 0, 0xff};
+    std::memcpy(w, hdr, 10);
+    w += 10;
+    uint32_t crc = 0;
+    int64_t isize = 0;
+    for (int64_t i = 0; i < n_chunks; ++i) {
+        std::memcpy(w, bufs[i].data(), bufs[i].size());
+        w += bufs[i].size();
+        const int64_t n = std::min<int64_t>(chunk, len - i * chunk);
+        crc = i == 0 ? crcs[i]
+                     : (uint32_t)crc32_combine(crc, crcs[i], (z_off_t)n);
+        isize += n;
+    }
+    uint32_t isz = (uint32_t)isize;
+    std::memcpy(w, &crc, 4);
+    std::memcpy(w + 4, &isz, 4);
+    return total;
+}
+
 }  // extern "C"
