@@ -175,6 +175,12 @@ def search_main(sub: str, argv: list[str]) -> int:
     p.add_argument("--q-shards", type=int, default=1,
                    help="data-parallel query batches over this many "
                         "devices (mesh is q-shards x db-shards)")
+    p.add_argument("--shard-subset", default="",
+                   help="comma-separated shard ids of a SHARDED index "
+                        "(mkindex --shards) to load and search on this "
+                        "host — the per-host slice of a multi-host "
+                        "deployment; results cover only those shards' "
+                        "subjects")
     p.add_argument("-v", "--verbosity", type=int, default=1, choices=(0, 1, 2))
     p.add_argument("--adaptive-seeding", default="1", choices=("0", "1"))
     p.add_argument("--seed-half-exact", default="1", choices=("0", "1"))
@@ -251,6 +257,8 @@ def search_main(sub: str, argv: list[str]) -> int:
     opt.lazy_qry_file = args.lazy_query
     opt.db_shards = args.db_shards
     opt.q_shards = args.q_shards
+    opt.shard_subset = ([int(x) for x in args.shard_subset.split(",")]
+                        if args.shard_subset else None)
     opt.qry_orig_alphabet = args.input_alphabet
     opt.query_batch_size = args.query_batch
 

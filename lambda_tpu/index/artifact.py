@@ -111,15 +111,19 @@ class IndexData:
         fps = self.sbj_num_frames
         return (self.shard_subj_bounds * fps).astype(np.int64)
 
-    def get_kmer(self) -> KmerIndex:
+    def get_kmer(self, allow_partial: bool = False) -> KmerIndex:
         """The global k-mer index; merges loaded shards on first use.
         The merge reproduces the unsharded build bit-exactly: shard rows
         concatenate in global-position order, and the same stable key
-        sort the builder uses restores the global order."""
+        sort the builder uses restores the global order.  With
+        ``allow_partial`` the merge covers only the LOADED shards (the
+        per-host slice of a multi-host deployment; positions/frames stay
+        GLOBAL so statistics and output ids are unchanged)."""
         if self.kmer is not None:
             return self.kmer
-        if len(self.loaded_shards) != len(self.kmer_shards) or \
-                not self.kmer_shards:
+        if not allow_partial and (
+                len(self.loaded_shards) != len(self.kmer_shards)
+                or not self.kmer_shards):
             raise RuntimeError(
                 "cannot merge a partially loaded sharded index "
                 f"(loaded shards {self.loaded_shards}).")

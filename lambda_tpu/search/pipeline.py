@@ -47,8 +47,18 @@ class SearchContext:
 
     def __init__(self, opt: opt_mod.LambdaOptions):
         self.opt = opt
-        self.idx = artifact.load_index(opt.index_file)
+        # --shard-subset: the per-host slice of a multi-host deployment
+        # (only those k-mer shards are loaded; subjects outside them
+        # produce no seeds, and dbTotalLength/e-values stay GLOBAL so
+        # per-host outputs merge consistently)
+        self.shard_subset = getattr(opt, "shard_subset", None)
+        self.idx = artifact.load_index(opt.index_file,
+                                       shards=self.shard_subset)
         idx = self.idx
+        if self.shard_subset is not None and not idx.kmer_shards:
+            raise RuntimeError(
+                "--shard-subset requires a SHARDED index "
+                "(mkindex --shards N).")
 
         # --- domain/index compatibility checks (search.cpp:189-207)
         dom = opt.domain
@@ -123,7 +133,7 @@ class SearchContext:
                 "shard; increase --db-shards (or split the database).")
         self._check_device_memory(opt)
         if self.db_shards * self.q_shards == 1:
-            kg = idx.get_kmer()
+            kg = idx.get_kmer(allow_partial=self.shard_subset is not None)
             self.d_keys = jnp.asarray(kg.keys)
             self.d_pos = jnp.asarray(kg.pos.astype(np.int32))
             self.d_frame = jnp.asarray(kg.frame.astype(np.int32))
@@ -205,7 +215,8 @@ class SearchContext:
                 sh = pmesh.shard_prebuilt_index(idx, self._reduced_concat())
             else:
                 sh = pmesh.shard_loaded_index(
-                    idx.get_kmer(), idx.trans_concat,
+                    idx.get_kmer(allow_partial=self.shard_subset
+                                 is not None), idx.trans_concat,
                     self._reduced_concat(), idx.trans_offsets,
                     idx.trans_lengths, self.db_shards,
                     frames_per_subject=self.sbj_num_frames)

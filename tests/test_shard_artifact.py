@@ -66,6 +66,52 @@ def test_sharded_artifact_search_parity(db_and_query):
     assert _search(d, q, lit2, "s2d4", "--db-shards", "4") == base
 
 
+def test_shard_subset_search_union(db_and_query):
+    """--shard-subset K searches only that shard's subjects with GLOBAL
+    statistics: the union of the two per-host outputs equals the full
+    run line-for-line (the multi-host contract: per-host slices merge
+    consistently because dbTotalLength/e-values are global)."""
+    d, db, q = db_and_query
+    lit = _mkindex(d, db, "subset", "--shards", "2")
+    full = _search(d, q, lit, "subset_full", "-n", "500")
+    s0 = _search(d, q, lit, "subset0", "-n", "500",
+                 "--shard-subset", "0")
+    s1 = _search(d, q, lit, "subset1", "-n", "500",
+                 "--shard-subset", "1")
+    lf = set(full.decode().splitlines())
+    l0 = set(s0.decode().splitlines())
+    l1 = set(s1.decode().splitlines())
+    assert l0 and l1
+    assert not (l0 & l1)
+    assert (l0 | l1) == lf
+
+
+def test_merge_m8_tool(db_and_query, tmp_path):
+    """merge_m8 reassembles per-host outputs: merged line set equals the
+    full run and per-query ordering is by (bitScore desc, eValue,
+    subject, coords)."""
+    from lambda_tpu.tools import merge_m8
+
+    d, db, q = db_and_query
+    lit = _mkindex(d, db, "merge", "--shards", "2")
+    full = _search(d, q, lit, "merge_full", "-n", "500")
+    _search(d, q, lit, "merge0", "-n", "500", "--shard-subset", "0")
+    _search(d, q, lit, "merge1", "-n", "500", "--shard-subset", "1")
+    out = tmp_path / "merged.m8"
+    merge_m8.merge([str(d / "out_merge0.m8"), str(d / "out_merge1.m8")],
+                   str(out))
+    merged = out.read_text().splitlines()
+    assert set(merged) == set(full.decode().splitlines())
+    # per-query bitScore (col 12) non-increasing
+    last_q, last_bs = None, None
+    for ln in merged:
+        f = ln.split("\t")
+        bs = float(f[11])
+        if f[0] == last_q:
+            assert bs <= last_bs + 1e-9
+        last_q, last_bs = f[0], bs
+
+
 def test_partial_shard_load(db_and_query):
     d, db, q = db_and_query
     from lambda_tpu.index import artifact
