@@ -137,7 +137,6 @@ class SearchContext:
             self.d_keys = jnp.asarray(kg.keys)
             self.d_pos = jnp.asarray(kg.pos.astype(np.int32))
             self.d_frame = jnp.asarray(kg.frame.astype(np.int32))
-        if self.db_shards * self.q_shards == 1:
             # single-device resident subject image; in mesh mode the
             # subject tensors live ONLY as 'db'-sharded arrays (d_sh) —
             # per-device bytes scale ~1/db_shards (P7)
