@@ -82,6 +82,25 @@ def main() -> None:
                                       -12, -1) for b in range(nchk)]
     assert list(got) == want, f"banded gate failed: {list(got)} vs {want}"
 
+    # --- correctness gate 1b: narrow-band rows batched with wide-band
+    # rows must NOT take gap-only corridors through off-band lanes
+    # (round-2 review counterexample: dual-gap excursion to the batch D)
+    gq = np.zeros((2, 48), dtype=np.int32)
+    gs = np.zeros((2, 60), dtype=np.int32)
+    gq[0, :20] = gq[0, 28:48] = 1
+    gq[0, 20:28] = 2
+    gs[0, :20] = gs[0, 32:52] = 1
+    gs[0, 20:32] = 3
+    gq[1] = gq[0]
+    gs[1] = gs[0]
+    gd = np.array([4, 12], dtype=np.int32)      # row 0 narrow, row 1 wide
+    gotg = sw_band.sw_band_score_pallas(gq, gs, gd, e8, -12, -1,
+                                        interpret=on_cpu)
+    wantg = [sw_band.sw_band_reference(gq[b], gs[b], int(gd[b]), subst,
+                                       -12, -1) for b in range(2)]
+    assert list(gotg) == wantg, \
+        f"band-corridor gate failed: {list(gotg)} vs {wantg}"
+
     # --- correctness gate 2: near-diagonal pairs == exact FULL DP
     dq2 = rng.integers(0, A, size=(nchk, 48)).astype(np.int32)
     ds2 = rng.integers(0, A, size=(nchk, 60)).astype(np.int32)

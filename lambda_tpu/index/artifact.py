@@ -413,6 +413,11 @@ def _load_payload(path: str, header: dict,
         )
     if n_shards:
         want = list(range(n_shards)) if shards is None else list(shards)
+        bad = [k for k in want if not 0 <= k < n_shards]
+        if bad:
+            raise RuntimeError(
+                f"ERROR: shard ids {bad} out of range for a {n_shards}-"
+                "shard index.")
         shard_list: list[KmerIndex] = []
         for k in range(n_shards):
             if k in want:

@@ -155,7 +155,7 @@ class _ParallelGzWriter:
         self._n = 0
 
     def write(self, s) -> int:
-        b = s.encode("ascii") if self._text else s
+        b = s.encode("utf-8") if self._text else s
         self._buf.append(b)
         self._n += len(b)
         if self._n >= self.MEMBER:

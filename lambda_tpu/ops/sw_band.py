@@ -102,10 +102,6 @@ def _plan(Ns: int, D: int, layout: str | None = None):
         W = Ws
         BROWS = BT * P
         bytes_per_col = BT * LW
-    elif layout == "sub2":
-        W = band_pad(D)
-        BROWS = lane_tile(W)
-        bytes_per_col = (W + 32) * BROWS   # int8 ranks + 8 uint32 words
     else:
         W = band_pad(D)
         BROWS = lane_tile(W)
@@ -239,161 +235,6 @@ def _band_image_sub(q, s, d_rows, subst_ext8, n_tiles, BTL, D, W, N):
     return subb
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_tiles", "BTL", "D", "W", "N"))
-def _qsh_prof_sub(q, s, d_rows, subst_ext8, n_tiles, BTL, D, W, N):
-    """Inputs for the fused-image sublane kernel: sheared+masked query
-    ranks QSH (T, N, W, BTL) int8 (off-band positions set to PAD rank,
-    which scores -128 against everything) and packed substitution
-    columns PROF (T, N, 8, BTL) uint32 (word k holds scores
-    S[4k..4k+3, s_bj]).  All built from cheap transposed-rank slices and
-    K4 unbatched one-hot dots whose outputs land directly in kernel
-    layout — the per-cell table lookup itself happens IN the kernel."""
-    B = q.shape[0]
-    C = subst_ext8.shape[0]
-    C4 = _ceil(C, 4)
-    K4 = C4 // 4
-    pad_rank = C - 1
-
-    qp = jnp.concatenate(
-        [jnp.full((B, D), pad_rank, jnp.int8), q.astype(jnp.int8),
-         jnp.full((B, W), pad_rank, jnp.int8)], axis=1)
-    qpT = qp.T                                                   # (N+D+W, B)
-    qsh = jnp.stack([qpT[w : w + N, :] for w in range(W)], axis=1)  # N,W,B
-    # off-band -> PAD rank (bakes the per-row band mask into the ranks)
-    wio = jnp.arange(W, dtype=jnp.int32)[None, :, None]
-    in_band = (wio >= (jnp.int32(D) - d_rows)[None, None, :]) & (wio <= D)
-    qsh = jnp.where(in_band, qsh, jnp.int8(pad_rank))
-    qsh = qsh.reshape(N, W, n_tiles, BTL).transpose(2, 0, 1, 3)  # T,N,W,BTL
-
-    sT = s.astype(jnp.int8).T                                    # (N, B)
-    iota = jnp.arange(C, dtype=jnp.int32)
-    ohs = (sT[:, :, None] == iota).astype(jnp.bfloat16)          # (N, B, C)
-    tdev = jnp.full((C4, C), jnp.int32(PAD_SCORE8))
-    tdev = tdev.at[:C, :].set(subst_ext8.astype(jnp.int32))
-    planes = []
-    for m in range(4):
-        tm = tdev[m::4, :].astype(jnp.bfloat16)                  # (K4, C)
-        pm = jax.lax.dot_general(
-            tm, ohs, dimension_numbers=(((1,), (2,)), ((), ())),
-            preferred_element_type=jnp.bfloat16)                 # (K4, N, B)
-        planes.append(pm.astype(jnp.int32) & 0xFF)
-    prof = (planes[0] | (planes[1] << 8) | (planes[2] << 16)
-            | (planes[3] << 24)).astype(jnp.uint32)              # (K4, N, B)
-    if K4 < 8:
-        prof = jnp.pad(prof, ((0, 8 - K4), (0, 0), (0, 0)))
-    prof = prof.reshape(8, N, n_tiles, BTL).transpose(2, 1, 0, 3)
-    return qsh, prof                                             # T,N,8,BTL
-
-
-def _make_band_kernel_sub2(NC: int, W: int, BTL: int, n_chunks: int,
-                           D: int, K4: int, gap_first: int,
-                           gap_extend: int):
-    """Sublane-band DP with the substitution lookup fused in: per column
-    the kernel selects the packed profile word by the query rank and
-    extracts the signed byte (K4-way select + variable shifts), then
-    runs the usual banded recurrences.  Avoids materializing any
-    substitution image in HBM."""
-    neg = NEG32
-    steps = []
-    st = 1
-    while st < W:
-        steps.append(st)
-        st *= 2
-
-    def kernel(qsh_ref, prof_ref, out_ref, H_ref, E_ref, best_ref):
-        def roll_from_below(x, s):
-            return pltpu.roll(x, shift=s, axis=0)
-
-        def roll_from_above(x):
-            return pltpu.roll(x, shift=W - 1, axis=0)
-
-        wio = jax.lax.broadcasted_iota(jnp.int32, (W, BTL), dimension=0)
-        ge = jnp.int32(gap_extend)
-        gf = jnp.int32(gap_first)
-        top = wio == W - 1
-        ge_c = jnp.where(top, jnp.int32(neg), ge)
-        gf_c = jnp.where(top, jnp.int32(neg), gf)
-        gf_f = jnp.where(wio == 0, jnp.int32(neg), gf)
-        c_steps = [jnp.where(wio < s, jnp.int32(neg),
-                             jnp.int32(max(s * gap_extend, neg)))
-                   for s in steps]
-
-        c = pl.program_id(1)
-
-        @pl.when(c == 0)
-        def _():
-            H_ref[:] = jnp.zeros((W, BTL), jnp.int32)
-            E_ref[:] = jnp.full((W, BTL), jnp.int32(neg))
-            best_ref[:] = jnp.zeros((W, BTL), jnp.int32)
-
-        def body(j, _):
-            qsh = qsh_ref[0, j, :, :].astype(jnp.int32)          # (W, BTL)
-            word = qsh >> 2
-            sel = jnp.zeros((W, BTL), jnp.uint32)
-            for k in range(K4):
-                pk = prof_ref[0, j, k : k + 1, :]                # (1, BTL)
-                sel = jnp.where(word == k, pk, sel)
-            seli = sel.astype(jnp.int32)
-            mby = qsh & 3
-            byte = jnp.where(mby == 0, seli & 0xFF,
-                             jnp.where(mby == 1, (seli >> 8) & 0xFF,
-                                       jnp.where(mby == 2,
-                                                 (seli >> 16) & 0xFF,
-                                                 (seli >> 24) & 0xFF)))
-            subcol = ((byte + 128) & 0xFF) - 128
-
-            H = H_ref[:]
-            E = jnp.maximum(roll_from_above(E_ref[:]) + ge_c,
-                            roll_from_above(H) + gf_c)
-            Htmp = jnp.maximum(jnp.maximum(H + subcol, E), jnp.int32(0))
-            F = roll_from_below(Htmp, 1) + gf_f
-            for s, cs in zip(steps, c_steps):
-                F = jnp.maximum(F, roll_from_below(F, s) + cs)
-            Hn = jnp.maximum(Htmp, F)
-            H_ref[:] = Hn
-            E_ref[:] = E
-            best_ref[:] = jnp.maximum(best_ref[:], Hn)
-            return 0
-
-        jax.lax.fori_loop(0, NC, body, 0)
-
-        @pl.when(c == n_chunks - 1)
-        def _():
-            out_ref[0, 0, :] = jnp.max(best_ref[:], axis=0)
-
-    return kernel
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_tiles", "N", "W", "BTL", "NC", "D",
-                                    "K4", "gap_first", "gap_extend",
-                                    "interpret"))
-def _score_band_sub2(qsh, prof, n_tiles, N, W, BTL, NC, D, K4, gap_first,
-                     gap_extend, interpret):
-    assert N % NC == 0, (N, NC)
-    n_chunks = N // NC
-    kernel = _make_band_kernel_sub2(NC, W, BTL, n_chunks, D, K4,
-                                    gap_first, gap_extend)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, BTL), jnp.int32),
-        grid=(n_tiles, n_chunks),
-        in_specs=[pl.BlockSpec((1, NC, W, BTL), lambda t, c: (t, c, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, NC, 8, BTL), lambda t, c: (t, c, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, BTL), lambda t, c: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((W, BTL), jnp.int32) for _ in range(3)],
-        interpret=interpret,
-        **({} if interpret else dict(
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024))),
-    )(qsh, prof)
-    return out[:, 0, :]
-
-
 def _lane_geometry(D: int):
     """Lane-layout geometry: per-alignment band width Ws = D+1 padded to
     8, P alignments packed per 128-lane register (dead lanes masked),
@@ -487,7 +328,8 @@ def _make_band_dirs_kernel(NC: int, Ws: int, LW: int, BT: int,
         steps.append(st)
         st *= 2
 
-    def kernel(sub_ref, dirs_ref, best_ref, bestj_ref, H_ref, E_ref):
+    def kernel(sub_ref, wmin_ref, dirs_ref, best_ref, bestj_ref, H_ref,
+               E_ref):
         def roll(x, s):
             return pltpu.roll(x, shift=s, axis=1)
 
@@ -502,6 +344,8 @@ def _make_band_dirs_kernel(NC: int, Ws: int, LW: int, BT: int,
         c_steps = [jnp.where(wloc < s, jnp.int32(neg),
                              jnp.int32(max(s * gap_extend, neg)))
                    for s in steps]
+        # strict per-row band mask (see _make_band_kernel_lane)
+        valid = (wloc >= wmin_ref[0, :, :]) & (wloc <= D)
 
         c = pl.program_id(1)
 
@@ -517,13 +361,15 @@ def _make_band_dirs_kernel(NC: int, Ws: int, LW: int, BT: int,
             subcol = sub_ref[0, j, :, :].astype(jnp.int32)
             ea = roll(E_ref[:], LW - 1) + ge_c
             eb = roll(H, LW - 1) + gf_c
-            E = jnp.maximum(ea, eb)
+            E = jnp.where(valid, jnp.maximum(ea, eb), jnp.int32(neg))
             diag = H + subcol
             Htmp = jnp.maximum(jnp.maximum(diag, E), jnp.int32(0))
-            F = roll(Htmp, 1) + gf_f
+            Fsrc = jnp.where(valid, Htmp, jnp.int32(neg))
+            F = roll(Fsrc, 1) + gf_f
             for s, cs in zip(steps, c_steps):
                 F = jnp.maximum(F, roll(F, s) + cs)
             Hn = jnp.maximum(Htmp, F)
+            Hn = jnp.where(valid, Hn, jnp.int32(0))
 
             # direction code, sw_xla encoding; tie priority diag > E > F
             pos = Hn > 0
@@ -534,9 +380,9 @@ def _make_band_dirs_kernel(NC: int, Ws: int, LW: int, BT: int,
             # different alignment — force False there, matching the
             # masked-NEG semantics of the XLA/native backends
             code = code | jnp.where((ea >= eb) & ~top, jnp.int32(4), 0)
-            # F-extend: F[i] == F[i-1] + ge with H[i-1] = max(Htmp,F)[i-1]
-            f_ext = (roll(F, 1) + ge) >= \
-                (jnp.maximum(roll(Htmp, 1), roll(F, 1)) + gf)
+            # F-extend: F[i] == F[i-1] + ge with H[i-1] the final masked
+            # cell value (= Hn[i-1]), matching the XLA masked semantics
+            f_ext = (roll(F, 1) + ge) >= (roll(Hn, 1) + gf)
             code = code | jnp.where(f_ext & (wloc != 0), jnp.int32(8), 0)
             dirs_ref[0, j, :, :] = code.astype(jnp.uint8)
 
@@ -557,7 +403,7 @@ def _make_band_dirs_kernel(NC: int, Ws: int, LW: int, BT: int,
                    static_argnames=("n_tiles", "N", "Ws", "LW", "BT", "NC",
                                     "D", "gap_first", "gap_extend",
                                     "interpret"))
-def _dirs_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
+def _dirs_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
                     gap_extend, interpret):
     assert N % NC == 0, (N, NC)
     n_chunks = N // NC
@@ -570,6 +416,8 @@ def _dirs_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
                    jax.ShapeDtypeStruct((n_tiles, BT, LW), jnp.int32)),
         grid=(n_tiles, n_chunks),
         in_specs=[pl.BlockSpec((1, NC, BT, LW), lambda t, c: (t, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, BT, LW), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((1, NC, BT, LW), lambda t, c: (t, c, 0, 0),
                                 memory_space=pltpu.VMEM),
@@ -582,7 +430,7 @@ def _dirs_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
         **({} if interpret else dict(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024))),
-    )(subb)
+    )(subb, wmin)
     return dirs, best, bestj
 
 
@@ -620,7 +468,8 @@ def sw_band_align_device(q, s, d_rows, subst_ext8, D: int,
     n_tiles = B // BROWS
     subb = _band_image_lane(q, s, d_rows, subst_ext8, n_tiles, BT, P,
                             LW, D, Ws, N)
-    return _dirs_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D,
+    wmin = _lane_wmin(d_rows, D, n_tiles, BT, P, Ws, LW)
+    return _dirs_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D,
                            int(gap_first), int(gap_extend), interpret)
 
 
@@ -755,7 +604,8 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
         steps.append(st)
         st *= 2
 
-    def kernel(sub_ref, out_ref, H_ref, E_ref, best_ref, *alive):
+    def kernel(sub_ref, wmin_ref, out_ref, H_ref, E_ref, best_ref,
+               *alive):
         def roll(x, s):
             return pltpu.roll(x, shift=s, axis=1)
 
@@ -772,6 +622,15 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
         c_steps = [jnp.where(wloc < s, jnp.int32(neg),
                              jnp.int32(max(s * gap_extend, neg)))
                    for s in steps]
+        # strict per-row band mask: off-band CELLS are dead (E -> -inf,
+        # H -> 0, F sources -> -inf), exactly like the masked XLA/native
+        # DPs.  Masking only the substitution image is NOT enough: pure
+        # gap corridors (E runs descending lanes, F runs ascending)
+        # carry positive scores across off-band lanes without touching
+        # the image.  Band contiguity makes masking the F-scan SOURCES
+        # sufficient: any in-band-to-in-band doubling jump has all its
+        # intermediates in band.
+        valid = (wloc >= wmin_ref[0, :, :]) & (wloc <= D)
 
         c = pl.program_id(1)
 
@@ -788,11 +647,14 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
             subcol = sub_ref[0, j, :, :].astype(jnp.int32)
             E = jnp.maximum(roll(E_ref[:], LW - 1) + ge_c,
                             roll(H, LW - 1) + gf_c)
+            E = jnp.where(valid, E, jnp.int32(neg))
             Htmp = jnp.maximum(jnp.maximum(H + subcol, E), jnp.int32(0))
-            F = roll(Htmp, 1) + gf_f
+            Fsrc = jnp.where(valid, Htmp, jnp.int32(neg))
+            F = roll(Fsrc, 1) + gf_f
             for s, cs in zip(steps, c_steps):
                 F = jnp.maximum(F, roll(F, s) + cs)
             Hn = jnp.maximum(Htmp, F)
+            Hn = jnp.where(valid, Hn, jnp.int32(0))
             H_ref[:] = Hn
             E_ref[:] = E
             best_ref[:] = jnp.maximum(best_ref[:], Hn)
@@ -828,7 +690,7 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
                    static_argnames=("n_tiles", "N", "Ws", "LW", "BT", "NC",
                                     "D", "gap_first", "gap_extend",
                                     "interpret", "x_drop"))
-def _score_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
+def _score_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
                      gap_extend, interpret, x_drop=0):
     assert N % NC == 0, (N, NC)
     n_chunks = N // NC
@@ -842,6 +704,8 @@ def _score_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
         out_shape=jax.ShapeDtypeStruct((n_tiles, BT, LW), jnp.int32),
         grid=(n_tiles, n_chunks),
         in_specs=[pl.BlockSpec((1, NC, BT, LW), lambda t, c: (t, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, BT, LW), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, BT, LW), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -850,7 +714,7 @@ def _score_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
         **({} if interpret else dict(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024))),
-    )(subb)
+    )(subb, wmin)
     # per-row best: reduce each pack's Ws lanes (dead lanes dropped)
     P = max(1, 128 // Ws) if Ws <= 128 else 1
     return out[:, :, :P * Ws].reshape(n_tiles, BT, P, Ws).max(axis=3)
@@ -886,6 +750,9 @@ def _make_band_kernel(NC: int, W: int, BTL: int, n_chunks: int, D: int,
         c_steps = [jnp.where(wio < s, jnp.int32(neg),
                              jnp.int32(max(s * gap_extend, neg)))
                    for s in steps]
+        # strict per-row band mask (see _make_band_kernel_lane: image
+        # masking alone lets pure gap corridors cross the band)
+        valid = (wio >= wmin_ref[0, 0:1, :]) & (wio <= D)
 
         c = pl.program_id(1)
 
@@ -900,11 +767,14 @@ def _make_band_kernel(NC: int, W: int, BTL: int, n_chunks: int, D: int,
             subcol = sub_ref[0, j, :, :].astype(jnp.int32)
             E = jnp.maximum(roll_from_above(E_ref[:]) + ge_c,
                             roll_from_above(H) + gf_c)
+            E = jnp.where(valid, E, jnp.int32(neg))
             Htmp = jnp.maximum(jnp.maximum(H + subcol, E), jnp.int32(0))
-            F = roll_from_below(Htmp, 1) + gf_f
+            Fsrc = jnp.where(valid, Htmp, jnp.int32(neg))
+            F = roll_from_below(Fsrc, 1) + gf_f
             for s, cs in zip(steps, c_steps):
                 F = jnp.maximum(F, roll_from_below(F, s) + cs)
             Hn = jnp.maximum(Htmp, F)
+            Hn = jnp.where(valid, Hn, jnp.int32(0))
             H_ref[:] = Hn
             E_ref[:] = E
             best_ref[:] = jnp.maximum(best_ref[:], Hn)
@@ -922,7 +792,7 @@ def _make_band_kernel(NC: int, W: int, BTL: int, n_chunks: int, D: int,
 @functools.partial(jax.jit,
                    static_argnames=("n_tiles", "N", "W", "BTL", "NC", "D",
                                     "gap_first", "gap_extend", "interpret"))
-def _score_band_padded(subb, n_tiles, N, W, BTL, NC, D, gap_first,
+def _score_band_padded(subb, wmin, n_tiles, N, W, BTL, NC, D, gap_first,
                        gap_extend, interpret):
     assert N % NC == 0, (N, NC)
     n_chunks = N // NC
@@ -932,6 +802,8 @@ def _score_band_padded(subb, n_tiles, N, W, BTL, NC, D, gap_first,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, BTL), jnp.int32),
         grid=(n_tiles, n_chunks),
         in_specs=[pl.BlockSpec((1, NC, W, BTL), lambda t, c: (t, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, BTL), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 8, BTL), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -942,146 +814,26 @@ def _score_band_padded(subb, n_tiles, N, W, BTL, NC, D, gap_first,
         **({} if interpret else dict(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024))),
-    )(subb)
-    return out[:, 0, :]
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_tiles", "BTL", "D", "W", "N"))
-def _band_image_sub3(q, s, d_rows, subst_ext8, n_tiles, BTL, D, W, N):
-    """Banded image for the transpose-in-kernel sublane DP: (T, N, BTL,
-    W) int8 — batch stays MAJOR of the last two dims so the XLA-side
-    permute is the cheap rect-kernel pattern; the kernel transposes each
-    (BTL, W) column block to (W, BTL) itself (one relayout per column
-    instead of nine cross-lane rolls)."""
-    B = q.shape[0]
-    C = subst_ext8.shape[0]
-    C4 = _ceil(C, 4)
-    K4 = C4 // 4
-    pad_rank = C - 1
-
-    qp = jnp.concatenate(
-        [jnp.full((B, D), pad_rank, jnp.int8), q.astype(jnp.int8),
-         jnp.full((B, W), pad_rank, jnp.int8)], axis=1)
-    qsh = jnp.stack([qp[:, w : w + N] for w in range(W)], axis=2)
-    qsh = qsh.astype(jnp.int32)                                  # (B, N, W)
-
-    tbl = jnp.full((C4, C), jnp.int8(PAD_SCORE8))
-    tbl = tbl.at[:C, :].set(subst_ext8.astype(jnp.int8))
-    iota = jnp.arange(C, dtype=jnp.int32)
-    ohs = (s[:, :, None] == iota).astype(jnp.bfloat16)
-    prof = jax.lax.dot_general(
-        ohs, tbl.astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.bfloat16)
-    prof = jax.lax.bitcast_convert_type(
-        prof.astype(jnp.int8).reshape(B, N, K4, 4), jnp.uint32)
-
-    word = qsh >> 2
-    sel = jnp.zeros((B, N, W), jnp.uint32)
-    for k in range(K4):
-        sel = jnp.where(word == k, prof[:, :, k][:, :, None], sel)
-    shift = (3 - (qsh & 3)) << 3
-    subb = (sel.astype(jnp.int32) << shift) >> 24
-    wio = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-    in_band = (wio >= (jnp.int32(D) - d_rows)[:, None, None]) & (wio <= D)
-    subb = jnp.where(in_band, subb, PAD_SCORE8).astype(jnp.int8)
-
-    return subb.reshape(n_tiles, BTL, N, W).transpose(0, 2, 1, 3)
-
-
-def _make_band_kernel_sub3(NC: int, W: int, BTL: int, n_chunks: int,
-                           D: int, gap_first: int, gap_extend: int):
-    """Sublane-band DP whose input arrives batch-major: each column's
-    (BTL, W) int8 block is transposed to (W, BTL) in-kernel, then the
-    recurrences use SUBLANE rolls (measured ~5x cheaper than lane rolls
-    on v5e)."""
-    neg = NEG32
-    steps = []
-    st = 1
-    while st < W:
-        steps.append(st)
-        st *= 2
-
-    def kernel(sub_ref, out_ref, H_ref, E_ref, best_ref):
-        def roll_from_below(x, s):
-            return pltpu.roll(x, shift=s, axis=0)
-
-        def roll_from_above(x):
-            return pltpu.roll(x, shift=W - 1, axis=0)
-
-        wio = jax.lax.broadcasted_iota(jnp.int32, (W, BTL), dimension=0)
-        ge = jnp.int32(gap_extend)
-        gf = jnp.int32(gap_first)
-        top = wio == W - 1
-        ge_c = jnp.where(top, jnp.int32(neg), ge)
-        gf_c = jnp.where(top, jnp.int32(neg), gf)
-        gf_f = jnp.where(wio == 0, jnp.int32(neg), gf)
-        c_steps = [jnp.where(wio < s, jnp.int32(neg),
-                             jnp.int32(max(s * gap_extend, neg)))
-                   for s in steps]
-
-        c = pl.program_id(1)
-
-        @pl.when(c == 0)
-        def _():
-            H_ref[:] = jnp.zeros((W, BTL), jnp.int32)
-            E_ref[:] = jnp.full((W, BTL), jnp.int32(neg))
-            best_ref[:] = jnp.zeros((W, BTL), jnp.int32)
-
-        def body(j, _):
-            H = H_ref[:]
-            subcol = sub_ref[0, j, :, :].astype(jnp.int32).T     # (W, BTL)
-            E = jnp.maximum(roll_from_above(E_ref[:]) + ge_c,
-                            roll_from_above(H) + gf_c)
-            Htmp = jnp.maximum(jnp.maximum(H + subcol, E), jnp.int32(0))
-            F = roll_from_below(Htmp, 1) + gf_f
-            for s, cs in zip(steps, c_steps):
-                F = jnp.maximum(F, roll_from_below(F, s) + cs)
-            Hn = jnp.maximum(Htmp, F)
-            H_ref[:] = Hn
-            E_ref[:] = E
-            best_ref[:] = jnp.maximum(best_ref[:], Hn)
-            return 0
-
-        jax.lax.fori_loop(0, NC, body, 0)
-
-        @pl.when(c == n_chunks - 1)
-        def _():
-            out_ref[0, 0, :] = jnp.max(best_ref[:], axis=0)
-
-    return kernel
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_tiles", "N", "W", "BTL", "NC", "D",
-                                    "gap_first", "gap_extend", "interpret"))
-def _score_band_sub3(subb, n_tiles, N, W, BTL, NC, D, gap_first,
-                     gap_extend, interpret):
-    assert N % NC == 0, (N, NC)
-    n_chunks = N // NC
-    kernel = _make_band_kernel_sub3(NC, W, BTL, n_chunks, D, gap_first,
-                                    gap_extend)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, BTL), jnp.int32),
-        grid=(n_tiles, n_chunks),
-        in_specs=[pl.BlockSpec((1, NC, BTL, W), lambda t, c: (t, c, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, BTL), lambda t, c: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((W, BTL), jnp.int32) for _ in range(3)],
-        interpret=interpret,
-        **({} if interpret else dict(
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024))),
-    )(subb)
+    )(subb, wmin)
     return out[:, 0, :]
 
 
 def pad_cols(Ns: int, D: int) -> int:
     """Window padding the kernel needs for band size D."""
     return _plan(Ns, D)[0]
+
+
+def _lane_wmin(d_rows, D, n_tiles, BT, P, Ws, LW):
+    """Per-lane minimum valid band offset (T, BT, LW) int32: lane
+    (p*Ws + w) of sublane bt holds D - d_row of its alignment; dead
+    lanes get Ws (never in band)."""
+    wmin = jnp.broadcast_to(
+        (jnp.int32(D) - d_rows).reshape(n_tiles, BT, P, 1),
+        (n_tiles, BT, P, Ws)).reshape(n_tiles, BT, P * Ws)
+    if P * Ws < LW:
+        wmin = jnp.pad(wmin, ((0, 0), (0, 0), (0, LW - P * Ws)),
+                       constant_values=Ws)
+    return wmin
 
 
 def sw_band_score_device(q, s, d_rows, subst_ext8, D: int,
@@ -1099,24 +851,17 @@ def sw_band_score_device(q, s, d_rows, subst_ext8, D: int,
         Ws, P, LW, BT = _lane_geometry(D)
         subb = _band_image_lane(q, s, d_rows, subst_ext8, n_tiles, BT, P,
                                 LW, D, Ws, N)
-        out = _score_band_lane(subb, n_tiles, N, Ws, LW, BT, NC, D,
+        wmin = _lane_wmin(d_rows, D, n_tiles, BT, P, Ws, LW)
+        out = _score_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D,
                                int(gap_first), int(gap_extend), interpret,
                                x_drop=_XDROP)
-    elif _LAYOUT == "sub2":
-        K4 = _ceil(subst_ext8.shape[0], 4) // 4
-        qsh, prof = _qsh_prof_sub(q, s, d_rows, subst_ext8, n_tiles,
-                                  BROWS, D, W, N)
-        out = _score_band_sub2(qsh, prof, n_tiles, N, W, BROWS, NC, D, K4,
-                               int(gap_first), int(gap_extend), interpret)
-    elif _LAYOUT == "sub3":
-        subb = _band_image_sub3(q, s, d_rows, subst_ext8, n_tiles, BROWS,
-                                D, W, N)
-        out = _score_band_sub3(subb, n_tiles, N, W, BROWS, NC, D,
-                               int(gap_first), int(gap_extend), interpret)
     else:
         subb = _band_image_sub(q, s, d_rows, subst_ext8, n_tiles, BROWS,
                                D, W, N)
-        out = _score_band_padded(subb, n_tiles, N, W, BROWS, NC, D,
+        wmin = jnp.broadcast_to(
+            (jnp.int32(D) - d_rows).reshape(n_tiles, 1, BROWS),
+            (n_tiles, 8, BROWS))
+        out = _score_band_padded(subb, wmin, n_tiles, N, W, BROWS, NC, D,
                                  int(gap_first), int(gap_extend), interpret)
     return out.reshape(B)
 

@@ -243,7 +243,7 @@ class SearchContext:
         import jax
 
         idx = self.idx
-        km = idx.kmer if idx.kmer is not None else None
+        km = idx.kmer
         kbytes = (km.keys.nbytes + km.pos.nbytes * 2) if km is not None \
             else sum(s.keys.nbytes + s.pos.nbytes * 2
                      for s in idx.kmer_shards)

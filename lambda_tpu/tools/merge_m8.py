@@ -6,11 +6,15 @@ and bit scores are computed against the GLOBAL database length, so the
 per-host lines are directly comparable.  This tool merges them back
 into one per-query record stream:
 
-* query order follows the first input file (all hosts see the same
-  query stream, so any input works);
-* within a query, matches sort by (bitScore desc, eValue asc, subject,
-  coordinates) — the deterministic total order of
-  records.sort_dedup_cutoff projected onto the m8 columns;
+* query order: by default, first appearance scanning the input files in
+  argument order — which can deviate from the query-stream order when a
+  query has hits on only a later host.  Pass ``--query-order q.fasta``
+  (the original query file) to reproduce the exact stream order.
+* within a query, matches sort by (bitScore desc, eValue asc, subject
+  name, strand-normalized coordinates).  NOTE: for tied bit scores this
+  orders subjects by NAME, while a single-host run orders them by their
+  database position (not recoverable from m8 columns) — the kept SET is
+  identical unless ``--max-matches`` cuts exactly at such a tie.
 * ``--max-matches N`` re-applies the per-query cutoff the per-host runs
   could not apply globally.
 
@@ -24,14 +28,22 @@ import sys
 
 def _key(fields: list[str]):
     # m8: qid sid pident length mism gapo qstart qend sstart send eval bits
+    qs, qe = int(fields[6]), int(fields[7])
+    ss, se = int(fields[8]), int(fields[9])
     return (-float(fields[11]), float(fields[10]), fields[1],
-            int(fields[6]), int(fields[7]), int(fields[8]), int(fields[9]))
+            min(qs, qe), max(qs, qe), min(ss, se), max(ss, se))
 
 
-def merge(paths: list[str], out_path: str, max_matches: int | None = None
-          ) -> None:
+def merge(paths: list[str], out_path: str, max_matches: int | None = None,
+          query_order: list[str] | None = None) -> None:
     per_query: dict[str, list[list[str]]] = {}
     order: list[str] = []
+    seen: set[str] = set()
+    if query_order:
+        for q in query_order:
+            if q not in seen:
+                seen.add(q)
+                order.append(q)
     for path in paths:
         with open(path) as fh:
             for line in fh:
@@ -40,15 +52,25 @@ def merge(paths: list[str], out_path: str, max_matches: int | None = None
                 f = line.rstrip("\n").split("\t")
                 if f[0] not in per_query:
                     per_query[f[0]] = []
-                    order.append(f[0])
+                    if f[0] not in seen:
+                        seen.add(f[0])
+                        order.append(f[0])
                 per_query[f[0]].append(f)
     with open(out_path, "w") as out:
         for q in order:
+            if q not in per_query:
+                continue
             rows = sorted(per_query[q], key=_key)
             if max_matches is not None:
                 rows = rows[:max_matches]
             for f in rows:
                 out.write("\t".join(f) + "\n")
+
+
+def _read_query_ids(path: str) -> list[str]:
+    from ..io import fasta
+
+    return [r.id.split()[0] for r in fasta.iter_seqs(path)]
 
 
 def main(argv=None) -> int:
@@ -59,8 +81,12 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("inputs", nargs="+")
     p.add_argument("-n", "--max-matches", type=int, default=None)
+    p.add_argument("--query-order", default="",
+                   help="original query FASTA; reproduces the exact "
+                        "query-stream record order")
     a = p.parse_args(argv)
-    merge(a.inputs, a.output, a.max_matches)
+    merge(a.inputs, a.output, a.max_matches,
+          _read_query_ids(a.query_order) if a.query_order else None)
     return 0
 
 
