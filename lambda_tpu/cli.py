@@ -175,6 +175,9 @@ def search_main(sub: str, argv: list[str]) -> int:
     p.add_argument("--q-shards", type=int, default=1,
                    help="data-parallel query batches over this many "
                         "devices (mesh is q-shards x db-shards)")
+    p.add_argument("--trace-dir", default="", metavar="DIR",
+                   help="write a jax.profiler trace of the search loop "
+                        "to DIR (view with tensorboard/xprof)")
     p.add_argument("--shard-subset", default="",
                    help="comma-separated shard ids of a SHARDED index "
                         "(mkindex --shards) to load and search on this "
@@ -259,6 +262,7 @@ def search_main(sub: str, argv: list[str]) -> int:
     opt.q_shards = args.q_shards
     opt.shard_subset = ([int(x) for x in args.shard_subset.split(",")]
                         if args.shard_subset else None)
+    opt.profile_dir = args.trace_dir
     opt.qry_orig_alphabet = args.input_alphabet
     opt.query_batch_size = args.query_batch
 

@@ -794,6 +794,24 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
             writer.write_record(q_global_id, q_seq, matches,
                                 lca_tax=lca_tax, lca_name=lca_name)
 
+    # tracing/profiling (SURVEY §5): device+host trace of the search
+    # loop on request — the jax.profiler equivalent of the reference's
+    # LAMBDA_MICRO_STATS timings (which the funnel/phase report covers
+    # always-on)
+    profile_dir = getattr(opt, "profile_dir", "")
+    profiler_cm = None
+    if profile_dir:
+        try:
+            import jax.profiler as _jprof
+
+            profiler_cm = _jprof.trace(profile_dir)
+            profiler_cm.__enter__()
+            misc.my_print(opt.verbosity, 1,
+                          f"Profiling to {profile_dir}")
+        except Exception as e:  # remote-attached backends may refuse
+            print(f"WARNING: profiler unavailable: {e}")
+            profiler_cm = None
+
     misc.my_print(opt.verbosity, 1,
                   "Searching and extending hits on-line...progress:")
     progress = misc.ProgressBar(opt.verbosity >= 1)
@@ -836,6 +854,8 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
             flush_batch()
     flush_batch()
     progress.finish()
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
 
     writer.write_footer()
     return stats

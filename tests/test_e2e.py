@@ -418,3 +418,33 @@ def test_bz2_output(protein_db, tmp_path):
     assert run_cli("searchp", "-q", str(q), "-i", str(protein_db),
                    "-o", str(bz), "-v", "0").returncode == 0
     assert _bz2.open(bz, "rt").read() == Path(plain).read_text()
+
+
+def test_long_query_no_cliff(tmp_path):
+    """Long queries (multi-thousand nt) stay on the banded path — the
+    round-1 rectangle kernel had an M_MAX=16384 device cliff; the banded
+    kernel's window cost is O(qlen * band), so there is no length
+    fallback left.  blastn with a 20 kb query against a 30 kb subject."""
+    rng = np.random.default_rng(123)
+    genome = "".join(rng.choice(list("ACGT"), 30000))
+    db = tmp_path / "g.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("chr", genome.encode())])
+    lit = tmp_path / "g.lit"
+    assert run_cli("mkindexn", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+    # query = 20 kb slice with scattered mutations
+    frag = list(genome[5000:25000])
+    for _ in range(200):
+        frag[rng.integers(0, len(frag))] = rng.choice(list("ACGT"))
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("long_q", "".join(frag).encode())])
+    out = tmp_path / "out.m8"
+    r = run_cli("searchn", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    assert rows, "no hits for the long query"
+    best = max(rows, key=lambda r: int(r[3]))
+    # the dominant hit must span (nearly) the whole query
+    assert int(best[3]) > 19000, best
+    assert float(best[2]) > 98.0, best
