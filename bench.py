@@ -50,12 +50,19 @@ REPS = 20
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
-
-    from lambda_tpu.ops import sw_band, sw_pallas, sw_xla
 
     dev = jax.devices()[0]
     on_cpu = dev.platform == "cpu"
+    if on_cpu:
+        # interpret mode: tiny tiles, or the python-level emulation of
+        # 512x128 tiles takes hours (must be set before the kernel
+        # module reads them at import)
+        os.environ.setdefault("LAMBDA_SWB_BT", "8")
+        os.environ.setdefault("LAMBDA_SWB_BTL", "128")
+
+    import jax.numpy as jnp
+
+    from lambda_tpu.ops import sw_band, sw_pallas, sw_xla
 
     rng = np.random.default_rng(0)
     A = 27
