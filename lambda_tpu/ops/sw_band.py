@@ -26,12 +26,15 @@ This kernel computes only the diagonal band the widener intended:
   per-cell score is a K-way select + variable byte extract — all fused
   elementwise.  (The rectangle-image + stride-shear approach measured
   3.4 ms of batched tiny-K matmuls + ~4 ms of copies on the flagship
-  shape; this path replaces it.)  Per-row band masks are baked into the
-  image, so the DP inner loop has zero masking.
+  shape; this path replaces it.)
 * Per-row band widths: each alignment carries its true band size
   ``D_row <= D`` so results are independent of how alignments are
   grouped into kernel batches (batch-size/shard determinism, CLAUDE.md
-  conventions).
+  conventions).  Bands are enforced at the CELL level in the kernels
+  (off-band E -> -inf, H -> 0, F-scan sources -> -inf) — masking only
+  the substitution image is insufficient because pure gap corridors
+  cross off-band lanes without touching it (found+fixed in round-2
+  review; bench.py gates the counterexample).
 * The 'sublane' layout (band on sublanes, LAMBDA_SWB_LAYOUT=sublane) is
   kept for A/B: its DP measured fastest (0.6 ms) but its image needs a
   batch-to-minor transpose that costs 10x the DP.
