@@ -76,10 +76,10 @@ def main() -> None:
     if on_cpu:
         M, D_TRUE, DBK = 32, 10, 15
     N, W, BROWS, NC, JB = sw_band._plan(M + DBK, DBK)
-    # production-serving batch: ~12k concurrent extensions (500 queries x
-    # 25 windows); large batches amortize the measured ~0.6 ms
-    # per-dispatch fixed cost
-    B = 8 * BROWS if not on_cpu else BROWS
+    # production-serving batch: ~25k concurrent extensions (~1000
+    # queries x 25 windows, ~1 GB image in HBM); large batches amortize
+    # the measured ~0.6-1.3 ms per-dispatch fixed cost
+    B = 16 * BROWS if not on_cpu else BROWS
 
     # --- correctness gate 1: banded kernel == exact banded DP
     nchk = 4
