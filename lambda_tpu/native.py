@@ -94,6 +94,20 @@ def get_lib():
         u8p, ctypes.c_int32, i32p,           # ops, ops_stride, ops_len
     ]
     lib.sw_traceback_batch.restype = None
+    lib.sw_traceback_stats_batch.argtypes = [
+        i32p, ctypes.c_int32, i32p,          # q, q_stride, qlen
+        i32p, ctypes.c_int32, i32p,          # s, s_stride, slen
+        ctypes.c_int32,                      # B
+        i32p, ctypes.c_int32,                # subst, alph
+        i32p, u8p,                           # subst_rev, use_rev
+        i32p,                                # band
+        ctypes.c_int32, ctypes.c_int32,      # gap_first, gap_extend
+        ctypes.c_int32,                      # bs_mode
+        i32p, i32p, i32p, i32p, i32p,        # score, q0, s0, qe, se
+        u8p, ctypes.c_int32, i32p,           # ops, ops_stride, ops_len
+        i32p,                                # stats (B, 8)
+    ]
+    lib.sw_traceback_stats_batch.restype = None
     lib.sw_score_batch_host.argtypes = [
         i32p, ctypes.c_int32, i32p,
         i32p, ctypes.c_int32, i32p,
@@ -201,15 +215,78 @@ def sw_traceback_batch(q_list, s_list, subst: np.ndarray,
         if score[b] <= 0:
             traces.append(None)
             continue
-        raw = ops[b, :ops_len[b]].tobytes().decode("ascii")
-        rle: list[tuple[str, int]] = []
-        for ch in raw:
-            if rle and rle[-1][0] == ch:
-                rle[-1] = (ch, rle[-1][1] + 1)
-            else:
-                rle.append((ch, 1))
-        traces.append((int(q0[b]), int(s0[b]), rle))
+        traces.append((int(q0[b]), int(s0[b]),
+                       rle_ops(ops[b, :ops_len[b]])))
     return score.astype(np.int64), traces
+
+
+def rle_ops(raw: np.ndarray) -> list[tuple[str, int]]:
+    """Run-length encode a 1-D uint8 op-byte array (vectorized)."""
+    if len(raw) == 0:
+        return []
+    cut = np.flatnonzero(np.diff(raw)) + 1
+    starts = np.concatenate(([0], cut))
+    ends = np.concatenate((cut, [len(raw)]))
+    return [(chr(raw[st]), int(en - st)) for st, en in zip(starts, ends)]
+
+
+def sw_traceback_stats_batch(q_list, s_list, subst: np.ndarray,
+                             gap_first: int, gap_extend: int,
+                             subst_rev: np.ndarray | None = None,
+                             use_rev: np.ndarray | None = None,
+                             band: np.ndarray | None = None,
+                             bs_mode: bool = False):
+    """Batched local SW with traceback AND inline alignment statistics on
+    the host (the compiled per-match tail; search_algo.hpp:1302-1325).
+
+    Returns (scores, traces, q0, s0, stats) where stats is a (B, 8) int32
+    array [align_length, matches, mismatches, positives, gap_opens, gaps,
+    insertions, deletions] per match (records.compute_alignment_stats
+    semantics) and traces follows sw_traceback_batch conventions."""
+    lib = get_lib()
+    assert lib is not None
+    B = len(q_list)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    q, s, qlen, slen, sub, sub_rev, urev = _marshal_sw_batch(
+        q_list, s_list, subst, subst_rev, use_rev)
+    band = (np.ascontiguousarray(band, dtype=np.int32)
+            if band is not None else None)
+    qs = q.shape[1]
+    ss_ = s.shape[1]
+    alph = sub.shape[0]
+
+    score = np.zeros(B, dtype=np.int32)
+    q0 = np.zeros(B, dtype=np.int32)
+    s0 = np.zeros(B, dtype=np.int32)
+    qe = np.zeros(B, dtype=np.int32)
+    se = np.zeros(B, dtype=np.int32)
+    ops_stride = qs + ss_ + 2
+    ops = np.zeros((B, ops_stride), dtype=np.uint8)
+    ops_len = np.zeros(B, dtype=np.int32)
+    stats = np.zeros((B, 8), dtype=np.int32)
+
+    lib.sw_traceback_stats_batch(
+        _ptr(q, i32p), qs, _ptr(qlen, i32p),
+        _ptr(s, i32p), ss_, _ptr(slen, i32p),
+        B, _ptr(sub, i32p), alph,
+        _ptr(sub_rev, i32p) if sub_rev is not None else None,
+        _ptr(urev, u8p) if urev is not None else None,
+        _ptr(band, i32p) if band is not None else None,
+        int(gap_first), int(gap_extend), int(bool(bs_mode)),
+        _ptr(score, i32p), _ptr(q0, i32p), _ptr(s0, i32p),
+        _ptr(qe, i32p), _ptr(se, i32p),
+        _ptr(ops, u8p), ops_stride, _ptr(ops_len, i32p),
+        _ptr(stats, i32p))
+
+    traces = []
+    for b in range(B):
+        if score[b] <= 0:
+            traces.append(None)
+            continue
+        traces.append((int(q0[b]), int(s0[b]),
+                       rle_ops(ops[b, :ops_len[b]])))
+    return score.astype(np.int64), traces, q0, s0, stats
 
 
 def gzip_compress(data: bytes, level: int = 6,

@@ -732,7 +732,7 @@ def _make_band_kernel(NC: int, W: int, BTL: int, n_chunks: int, D: int,
         steps.append(st)
         st *= 2
 
-    def kernel(sub_ref, out_ref, H_ref, E_ref, best_ref):
+    def kernel(sub_ref, wmin_ref, out_ref, H_ref, E_ref, best_ref):
         def roll_from_below(x, s):
             # y[w] = x[w - s] (wraparound killed by the additive consts)
             return pltpu.roll(x, shift=s, axis=0)

@@ -203,6 +203,51 @@ def sw_extend_traceback(m: MatchBatch, q_frames, s_window,
                          gap_first, gap_extend, bs_split, with_trace=True)
 
 
+def trace_pass(m: MatchBatch, q_frames, s_window, subst_ext_fwd,
+               subst_ext_rev, gap_first, gap_extend, bs_split: bool):
+    """Pass 2 with the COMPILED per-match tail when available.
+
+    The reference's equivalent tail — traceback + computeAlignmentStats —
+    is compiled C++ on all cores (search_algo.hpp:1296,1302-1325); here
+    the native walker computes the alignment statistics inline with the
+    banded host DP so no per-op Python walk remains.  Returns
+    (scores, traces, stats) where stats is the (B, 8) int32 array
+    [align_length, matches, mismatches, positives, gap_opens, gaps,
+    insertions, deletions] (records.compute_alignment_stats semantics),
+    or None when the native lib is unavailable / LAMBDA_SW_TRACE=device
+    forces the device-dirs path (callers then compute stats per match in
+    Python — the byte-identical fallback)."""
+    from .. import native
+
+    if (native.get_lib() is None
+            or os.environ.get("LAMBDA_SW_TRACE") == "device"):
+        sc, tr = _run_bucketed(m, q_frames, s_window, subst_ext_fwd,
+                               subst_ext_rev, gap_first, gap_extend,
+                               bs_split, with_trace=True)
+        return sc, tr, None
+
+    n = len(m)
+    if n == 0:
+        return (np.zeros(0, np.int64), [],
+                np.zeros((0, 8), np.int32))
+    pad = subst_ext_fwd.shape[0] - 1
+    qlen, d_row, wlen = _ext_geometry(m)
+    q_list = [q_frames[m.qry_id[i]][m.qry_start[i]:m.qry_end[i]]
+              for i in range(n)]
+    s_list = [s_window.window_virtual(int(m.subj_id[i]), int(m.d_lo[i]),
+                                      int(wlen[i]), pad)
+              for i in range(n)]
+    rev = (np.asarray(m.subj_id) % 2 == 1).astype(np.uint8) \
+        if bs_split else None
+    sc, tr, _, _, stats = native.sw_traceback_stats_batch(
+        q_list, s_list, np.asarray(subst_ext_fwd, dtype=np.int32),
+        gap_first, gap_extend,
+        subst_rev=(np.asarray(subst_ext_rev, dtype=np.int32)
+                   if bs_split else None),
+        use_rev=rev, band=d_row.astype(np.int32), bs_mode=bs_split)
+    return sc, tr, stats
+
+
 class SubjectWindows:
     """Extracts subject windows from the translated subject concat."""
 

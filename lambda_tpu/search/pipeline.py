@@ -616,11 +616,12 @@ class SearchContext:
         m2 = m.take(idxs)
         scores2 = scores[idxs]
 
-        # --- pass 2: traceback
+        # --- pass 2: traceback (+ inline stats when the native tail is
+        # available — the compiled equivalent of search_algo.hpp:1302-1325)
         with stats.timed("time_extend_trace"):
-            scores2b, traces = extend._run_bucketed(
+            scores2b, traces, astats = extend.trace_pass(
                 m2, trans, self.s_windows, self.sw_fwd, self.sw_rev, gf, ge,
-                self.bs_mode, with_trace=True)
+                self.bs_mode)
 
         out: dict[int, list[records.BlastMatch]] = {}
         for i in range(len(m2)):
@@ -653,14 +654,29 @@ class SearchContext:
                 qry_frame_id=qry_id,
                 subj_frame_id=subj_id,
             )
-            use_rev = self.bs_mode and subj_id % 2 == 1
-            sch = self.align_rev if use_rev else self.align_fwd
-            records.compute_alignment_stats(
-                bm, trans[qry_id],
-                self.s_windows.concat[
-                    self.idx.trans_offsets[subj_id]:
-                    self.idx.trans_offsets[subj_id + 1]],
-                sch.matrix, gf, ge, self.bs_mode)
+            if astats is not None:
+                st8 = astats[i]
+                bm.align_length = int(st8[0])
+                bm.num_matches = int(st8[1])
+                bm.num_mismatches = int(st8[2])
+                bm.num_positives = int(st8[3])
+                bm.num_gap_opens = int(st8[4])
+                bm.num_gaps = int(st8[5])
+                bm.num_insertions = int(st8[6])
+                bm.num_deletions = int(st8[7])
+                bm.identity = (100.0 * bm.num_matches / bm.align_length
+                               if bm.align_length else 0.0)
+                bm.similarity = (100.0 * bm.num_positives / bm.align_length
+                                 if bm.align_length else 0.0)
+            else:
+                use_rev = self.bs_mode and subj_id % 2 == 1
+                sch = self.align_rev if use_rev else self.align_fwd
+                records.compute_alignment_stats(
+                    bm, trans[qry_id],
+                    self.s_windows.concat[
+                        self.idx.trans_offsets[subj_id]:
+                        self.idx.trans_offsets[subj_id + 1]],
+                    sch.matrix, gf, ge, self.bs_mode)
 
             # %identity filter (search_algo.hpp:1310-1315)
             if bm.identity < opt.id_cutoff:

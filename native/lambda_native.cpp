@@ -249,6 +249,81 @@ void sw_traceback_batch(const int32_t* q, int32_t q_stride,
     }
 }
 
+// Traceback + inline alignment statistics (the per-match tail the
+// reference compiles at search_algo.hpp:1302-1325: _expandAlign +
+// computeAlignmentStats).  Stats semantics replicate
+// lambda_tpu/search/records.py compute_alignment_stats exactly:
+//   standard: match == character equality; bisulfite: match ==
+//   (score(c0,c1) == score(c0,c0)); positives: score > 0.
+// stats_out is (B, 8) int32 rows:
+//   [align_length, matches, mismatches, positives,
+//    gap_opens, gaps, insertions, deletions]
+void sw_traceback_stats_batch(
+    const int32_t* q, int32_t q_stride, const int32_t* qlen,
+    const int32_t* s, int32_t s_stride, const int32_t* slen, int32_t B,
+    const int32_t* subst, int32_t alph,
+    const int32_t* subst_rev, const uint8_t* use_rev,
+    const int32_t* band, int32_t gap_first, int32_t gap_extend,
+    int32_t bs_mode,
+    int32_t* score_out, int32_t* q0_out, int32_t* s0_out,
+    int32_t* qe_out, int32_t* se_out,
+    uint8_t* ops_out, int32_t ops_stride, int32_t* ops_len_out,
+    int32_t* stats_out) {
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int32_t b = 0; b < B; ++b) {
+        const int32_t* mat =
+            (subst_rev && use_rev && use_rev[b]) ? subst_rev : subst;
+        uint8_t* ops = ops_out + (int64_t)b * ops_stride;
+        int32_t n = 0;
+        score_out[b] = sw_one(q + (int64_t)b * q_stride, qlen[b],
+                              s + (int64_t)b * s_stride, slen[b],
+                              band ? band[b] : -1,
+                              mat, alph, gap_first, gap_extend,
+                              &q0_out[b], &s0_out[b], &qe_out[b], &se_out[b],
+                              ops, ops_stride, &n);
+        if (n > ops_stride) n = ops_stride;
+        std::reverse(ops, ops + n);
+        ops_len_out[b] = n;
+
+        // inline stats over the walked path (records.py semantics)
+        const int32_t* qr = q + (int64_t)b * q_stride;
+        const int32_t* sr = s + (int64_t)b * s_stride;
+        int32_t i = q0_out[b], j = s0_out[b];
+        int32_t matches = 0, mismatches = 0, positives = 0;
+        int32_t gap_opens = 0, gap_ext = 0, ins = 0, del = 0;
+        char prev = 0;
+        for (int32_t t = 0; t < n; ++t) {
+            const char op = (char)ops[t];
+            if (op == 'M') {
+                const int32_t c0 = qr[i], c1 = sr[j];
+                const int32_t sc = mat[(int64_t)c0 * alph + c1];
+                const bool is_match =
+                    bs_mode ? (sc == mat[(int64_t)c0 * alph + c0])
+                            : (c0 == c1);
+                if (is_match) ++matches; else ++mismatches;
+                if (sc > 0) ++positives;
+                ++i; ++j;
+            } else if (op == 'D') {   // gap in query row
+                if (prev == 'D') ++gap_ext; else ++gap_opens;
+                ++del; ++j;
+            } else {                  // 'I': gap in subject row
+                if (prev == 'I') ++gap_ext; else ++gap_opens;
+                ++ins; ++i;
+            }
+            prev = op;
+        }
+        int32_t* st = stats_out + (int64_t)b * 8;
+        st[0] = n;
+        st[1] = matches;
+        st[2] = mismatches;
+        st[3] = positives;
+        st[4] = gap_opens;
+        st[5] = gap_opens + gap_ext;
+        st[6] = ins;
+        st[7] = del;
+    }
+}
+
 // ---------------------------------------------------------------------------
 // Parallel stable lexicographic row sort for k-mer index construction
 // (the native-build counterpart of the reference's threaded FM-index

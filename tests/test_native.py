@@ -195,3 +195,56 @@ def test_banded_run_bucketed_backends_agree(monkeypatch):
                                            False, with_trace=True)
     assert list(scores2) == want
     assert traces[0] is not None and traces[1] is not None
+
+
+@needs_native
+@pytest.mark.parametrize("bs_mode", [False, True])
+def test_native_traceback_stats_matches_python(bs_mode):
+    """sw_traceback_stats_batch's inline stats == the pure-Python
+    records.compute_alignment_stats walk over the same traces."""
+    from lambda_tpu.search import records
+
+    A = 6
+    rng = np.random.default_rng(23)
+    subst = rng.integers(-3, 4, size=(A, A)).astype(np.int32)
+    np.fill_diagonal(subst, 5)
+    if bs_mode:
+        # asymmetric bisulfite-like extra match: score(3,1) == score(3,3)
+        subst[3, 1] = subst[3, 3]
+    ext = sw_xla.extend_matrix(subst)
+
+    B = 16
+    q_list = [rng.integers(0, A, size=rng.integers(8, 48)).astype(np.int32)
+              for _ in range(B)]
+    s_list = []
+    for q in q_list:
+        s = rng.integers(0, A, size=len(q) + 10).astype(np.int32)
+        off = rng.integers(0, 8)
+        s[off:off + len(q)] = q           # plant homology
+        for _ in range(4):                # mutations
+            s[rng.integers(0, len(s))] = rng.integers(0, A)
+        s_list.append(s)
+    band = np.full(B, 10, dtype=np.int32)
+
+    sc, traces, q0, s0, st = native.sw_traceback_stats_batch(
+        q_list, s_list, ext, -7, -2, band=band, bs_mode=bs_mode)
+    sc2, traces2 = native.sw_traceback_batch(q_list, s_list, ext, -7, -2,
+                                             band=band)
+    np.testing.assert_array_equal(sc, sc2)
+    for b in range(B):
+        assert traces[b] == traces2[b]
+        if traces[b] is None:
+            assert (st[b] == 0).all()
+            continue
+        tq0, ts0, ops = traces[b]
+        bm = records.BlastMatch(
+            n_q_id=0, n_s_id=0, q_frame_shift=0, s_frame_shift=0,
+            q_length=len(q_list[b]), s_length=len(s_list[b]),
+            q_start=tq0, q_end=0, s_start=ts0, s_end=0,
+            raw_score=int(sc[b]), ops=ops)
+        records.compute_alignment_stats(bm, q_list[b], s_list[b], subst,
+                                        -7, -2, bs_mode)
+        want = [bm.align_length, bm.num_matches, bm.num_mismatches,
+                bm.num_positives, bm.num_gap_opens, bm.num_gaps,
+                bm.num_insertions, bm.num_deletions]
+        assert list(st[b]) == want, (b, list(st[b]), want)

@@ -246,3 +246,40 @@ def test_sw_pallas_ext8_roundtrip():
     np.testing.assert_array_equal(e8[:A, :A], subst)
     assert (e8[A, :] == sw_pallas.PAD_SCORE8).all()
     assert (e8[:, A] == sw_pallas.PAD_SCORE8).all()
+
+
+# ---------------------------------------------------------------------------
+# Banded Pallas SW kernel: both layouts vs the exact banded DP
+# (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+
+def _band_case(seed=11):
+    from lambda_tpu.ops import sw_pallas
+
+    A = 27
+    rng = np.random.default_rng(seed)
+    subst = rng.integers(-4, 6, size=(A, A)).astype(np.int32)
+    np.fill_diagonal(subst, rng.integers(4, 12, size=A))
+    e8 = sw_pallas.extend_matrix8(subst)
+    B = 5
+    q = rng.integers(0, A, size=(B, 40)).astype(np.int32)
+    s = rng.integers(0, A, size=(B, 52)).astype(np.int32)
+    d = np.array([12, 7, 3, 12, 9], dtype=np.int32)
+    return subst, e8, q, s, d
+
+
+@pytest.mark.parametrize("layout", ["lane", "sublane"])
+def test_sw_band_layouts_match_reference(monkeypatch, layout):
+    from lambda_tpu.ops import sw_band
+
+    monkeypatch.setattr(sw_band, "_LAYOUT", layout)
+    # tiny tiles: interpret mode emulates the kernel grid in Python and
+    # full 512-sublane tiles take hours (CLAUDE.md)
+    monkeypatch.setattr(sw_band, "_BT_CAP", 8)
+    monkeypatch.setattr(sw_band, "_BTL_CAP", 128)
+    subst, e8, q, s, d = _band_case()
+    got = sw_band.sw_band_score_pallas(q, s, d, e8, -12, -1, interpret=True)
+    want = [sw_band.sw_band_reference(q[b], s[b], int(d[b]), subst, -12, -1)
+            for b in range(len(d))]
+    assert list(got) == want
