@@ -541,10 +541,17 @@ class SearchContext:
                                  self.d_sbj_offsets,
                                  self.d_sbj_lens, self.d_trans_sbj, d_trans_q,
                                  d_red_sbj, self.d_sub_fwd, self.d_sub_rev)
+                # ONE small stats transfer decides the retry; the hit
+                # payload moves D2H only after the budgets are accepted,
+                # as a device-compacted bucketed slice of the 16-byte
+                # packed rows (the full hit arrays stay on device)
                 with stats.timed("time_locate"):
-                    hits = {k: np.asarray(v)
-                            for k, v in res2.items() if k != "stats"}
-                st2 = {k: int(v) for k, v in res2["stats"].items()}
+                    sv = np.asarray(res2["stats_vec"])
+                st2 = dict(hits_located=int(sv[0]), hits_overflow=int(sv[1]),
+                           failed_prescore=int(sv[2]),
+                           cursors_overflow=int(sv[3]))
+                n_sel = int(sv[4])
+                hits = None
             if (st2["hits_overflow"] or st2["cursors_overflow"]) \
                     and scale < 8:
                 scale *= 2
@@ -555,17 +562,36 @@ class SearchContext:
         stats.hits_overflow += st2["hits_overflow"]
         stats.cursors_overflow += st2["cursors_overflow"]
 
-        sel = hits["valid"] & hits["passed"]
-        if not sel.any():
-            return {}
-        m = extend.MatchBatch(
-            qry_id=hits["q_frame"][sel].astype(np.int64),
-            subj_id=hits["s_frame"][sel].astype(np.int64),
-            qry_start=hits["q_begin"][sel].astype(np.int64),
-            qry_end=(hits["q_begin"][sel] + hits["seed_len"][sel]).astype(np.int64),
-            subj_start=hits["s_off"][sel].astype(np.int64),
-            subj_end=(hits["s_off"][sel] + hits["seed_len"][sel]).astype(np.int64),
-        )
+        if hits is not None:              # sharded path: full hit arrays
+            sel = hits["valid"] & hits["passed"]
+            if not sel.any():
+                return {}
+            m = extend.MatchBatch(
+                qry_id=hits["q_frame"][sel].astype(np.int64),
+                subj_id=hits["s_frame"][sel].astype(np.int64),
+                qry_start=hits["q_begin"][sel].astype(np.int64),
+                qry_end=(hits["q_begin"][sel]
+                         + hits["seed_len"][sel]).astype(np.int64),
+                subj_start=hits["s_off"][sel].astype(np.int64),
+                subj_end=(hits["s_off"][sel]
+                          + hits["seed_len"][sel]).astype(np.int64),
+            )
+        else:
+            if n_sel == 0:
+                return {}
+            nb = min(extend._bucket(n_sel), int(res2["packed"].shape[0]))
+            with stats.timed("time_locate"):
+                packed = np.asarray(res2["packed"][:nb])[:n_sel] \
+                    .astype(np.int64)
+            seed_len = packed[:, 3] & 0xFF
+            m = extend.MatchBatch(
+                qry_id=packed[:, 3] >> 8,
+                subj_id=packed[:, 0],
+                qry_start=packed[:, 2],
+                qry_end=packed[:, 2] + seed_len,
+                subj_start=packed[:, 1],
+                subj_end=packed[:, 1] + seed_len,
+            )
 
         # widen + merge (search_algo.hpp:1136-1175)
         q_frame_lens = qlens.astype(np.int64)

@@ -488,6 +488,26 @@ def make_seeder(cfg: SeedConfig):
                           take("frame"), take("begin"), take("shift"),
                           red_q, red_sbj, subst_fwd, subst_rev)
         res["stats"]["cursors_overflow"] = jnp.maximum(n_valid - C, 0)
+
+        # --- D2H shrink: compact the (valid & passed) hits on device and
+        # bit-pack them to 16 bytes/hit; the host transfers ONE small
+        # stats vector plus a bucketed slice of `packed` instead of the
+        # full 7-column hit arrays (the transfer dominated e2e time on
+        # remote-attached chips — VERDICT round 2, missing #1)
+        sel = res["valid"] & res["passed"]
+        h_order = jnp.argsort(jnp.where(sel, 0, 1).astype(jnp.int8),
+                              stable=True)
+        n_sel = jnp.sum(sel.astype(jnp.int32))
+        packed = jnp.stack(
+            [res["s_frame"], res["s_off"], res["q_begin"],
+             (res["q_frame"] << 8) | res["seed_len"]],
+            axis=1).astype(jnp.int32)            # (Hn, 4)
+        res["packed"] = packed[h_order]
+        st = res["stats"]
+        res["stats_vec"] = jnp.stack(
+            [st["hits_located"], st["hits_overflow"],
+             st["failed_prescore"], st["cursors_overflow"],
+             n_sel]).astype(jnp.int32)
         return res
 
     return jax.jit(stage1_impl), jax.jit(stage2_impl), jax.jit(fused_impl)
