@@ -608,7 +608,7 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
         st *= 2
 
     def kernel(sub_ref, wmin_ref, out_ref, H_ref, E_ref, best_ref,
-               *alive):
+               *xd):
         def roll(x, s):
             return pltpu.roll(x, shift=s, axis=1)
 
@@ -635,6 +635,20 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
         # intermediates in band.
         valid = (wloc >= wmin_ref[0, :, :]) & (wloc <= D)
 
+        def pack_max(x):
+            # segmented max over each Ws-lane pack (ascending prefix max
+            # then descending propagate, doubling; pack-crossing sources
+            # masked to -inf)
+            m = x
+            for s in steps:
+                m = jnp.maximum(m, jnp.where(wloc < s, jnp.int32(neg),
+                                             roll(m, s)))
+            for s in steps:
+                m = jnp.maximum(m, jnp.where(wloc >= Ws - s,
+                                             jnp.int32(neg),
+                                             roll(m, LW - s)))
+            return m
+
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -643,7 +657,8 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
             E_ref[:] = jnp.full((BT, LW), jnp.int32(neg))
             best_ref[:] = jnp.zeros((BT, LW), jnp.int32)
             if x_drop > 0:
-                alive[0][0, 0] = jnp.int32(1)
+                xd[0][:] = jnp.zeros((BT, LW), jnp.int32)   # dead mask
+                xd[1][0, 0] = jnp.int32(1)                  # tile alive
 
         def body(j, _):
             H = H_ref[:]
@@ -658,27 +673,35 @@ def _make_band_kernel_lane(NC: int, Ws: int, LW: int, BT: int,
                 F = jnp.maximum(F, roll(F, s) + cs)
             Hn = jnp.maximum(Htmp, F)
             Hn = jnp.where(valid, Hn, jnp.int32(0))
+            if x_drop > 0:
+                # latched dead alignments contribute nothing further
+                dead = xd[0][:] != 0
+                Hn = jnp.where(dead, jnp.int32(0), Hn)
+                E = jnp.where(dead, jnp.int32(neg), E)
             H_ref[:] = Hn
             E_ref[:] = E
             best_ref[:] = jnp.maximum(best_ref[:], Hn)
             return 0
 
         if x_drop > 0:
-            # X-drop masked early-exit (BLAST-style extension
+            # X-drop early termination (BLAST-style extension
             # termination, the reference's *intent* for banded
-            # extension): once EVERY alignment in the tile has its
-            # running scores X below its own best, later columns are
-            # skipped.  Changes results only for alignments that would
-            # restart after a deep trough (off by default).
-            @pl.when(alive[0][0, 0] != 0)
+            # extension), PER ALIGNMENT and chunk-granular: after each
+            # NC-column chunk, an alignment whose running scores
+            # max(H, E) have fallen more than X below its OWN best is
+            # latched dead (it cannot revive later — results are
+            # independent of which alignments share a tile); the tile
+            # skips remaining chunks once every alignment is dead.
+            # Exact semantics: ops/sw_band.sw_band_xdrop_reference.
+            @pl.when(xd[1][0, 0] != 0)
             def _():
                 jax.lax.fori_loop(0, NC, body, 0)
-                row_best = jnp.max(best_ref[:], axis=1, keepdims=True)
-                cur = jnp.maximum(H_ref[:], E_ref[:])
-                still = (cur >= row_best - jnp.int32(x_drop)) &                     (row_best > 0)
-                any_alive = jnp.max(jnp.where(still, 1, 0))
-                seed_phase = jnp.where(jnp.max(row_best) == 0, 1, 0)
-                alive[0][0, 0] = jnp.maximum(any_alive, seed_phase)
+                cur = pack_max(jnp.maximum(H_ref[:], E_ref[:]))
+                pb = pack_max(best_ref[:])
+                dead_now = (cur < pb - jnp.int32(x_drop)) & (pb > 0)
+                xd[0][:] = jnp.where(dead_now, jnp.int32(1), xd[0][:])
+                live = (xd[0][:] == 0) & valid
+                xd[1][0, 0] = jnp.max(jnp.where(live, 1, 0))
         else:
             jax.lax.fori_loop(0, NC, body, 0)
 
@@ -701,7 +724,8 @@ def _score_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
                                     gap_first, gap_extend, x_drop)
     scratch = [pltpu.VMEM((BT, LW), jnp.int32) for _ in range(3)]
     if x_drop > 0:
-        scratch.append(pltpu.SMEM((1, 1), jnp.int32))
+        scratch.append(pltpu.VMEM((BT, LW), jnp.int32))   # dead mask
+        scratch.append(pltpu.SMEM((1, 1), jnp.int32))     # tile alive
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_tiles, BT, LW), jnp.int32),
@@ -826,6 +850,19 @@ def pad_cols(Ns: int, D: int) -> int:
     return _plan(Ns, D)[0]
 
 
+def image_bytes(B: int, N: int, D: int, layout: str | None = None) -> int:
+    """HBM bytes of the banded substitution image for a (B, N, D) bucket
+    (the dominant transient of the score pass; used by the device-memory
+    preflight — checkRAM's device analogue, search_algo.hpp:126-155)."""
+    layout = layout or _LAYOUT
+    if layout == "lane":
+        Ws, P, LW, BT = _lane_geometry(D)
+        n_tiles = -(-B // (BT * P))
+        return n_tiles * N * BT * LW
+    W = band_pad(D)
+    return _ceil(B, lane_tile(W)) * N * W
+
+
 def _lane_wmin(d_rows, D, n_tiles, BT, P, Ws, LW):
     """Per-lane minimum valid band offset (T, BT, LW) int32: lane
     (p*Ws + w) of sublane bt holds D - d_row of its alignment; dead
@@ -906,6 +943,43 @@ def sw_band_score_pallas(q: np.ndarray, s: np.ndarray, d_rows: np.ndarray,
 # ---------------------------------------------------------------------------
 # Exact scalar reference (tests)
 # ---------------------------------------------------------------------------
+
+
+def sw_band_xdrop_reference(q, s, D: int, subst, gap_first: int,
+                            gap_extend: int, x_drop: int, nc: int) -> int:
+    """Scalar reference of the kernel's X-drop semantics
+    (LAMBDA_SW_XDROP): exact banded DP, column-major, with the
+    chunk-granular per-alignment termination — after every ``nc``
+    window columns, if the column's running scores max(H, E, 0) over
+    the band have fallen more than ``x_drop`` below the best so far
+    (and the best is positive), the alignment is dead: remaining
+    columns contribute nothing.  ``nc`` is the kernel's static column
+    chunk (``_plan(...)[3]``)."""
+    NEG = -(2 ** 24)
+    M, N = len(q), len(s)
+    H = np.zeros((M + 1, N + 1), dtype=np.int64)
+    E = np.full((M + 1, N + 1), NEG, dtype=np.int64)
+    F = np.full((M + 1, N + 1), NEG, dtype=np.int64)
+    best = 0
+    for j in range(1, N + 1):
+        ilo = max(j - D, 1)
+        ihi = min(j, M)
+        for i in range(ilo, ihi + 1):
+            d = j - i
+            E[i, j] = max(E[i, j - 1] + gap_extend,
+                          H[i, j - 1] + gap_first) if d > 0 else NEG
+            F[i, j] = max(F[i - 1, j] + gap_extend,
+                          H[i - 1, j] + gap_first) if d < D else NEG
+            H[i, j] = max(0, H[i - 1, j - 1] + subst[q[i - 1], s[j - 1]],
+                          E[i, j], F[i, j])
+            best = max(best, H[i, j])
+        if j % nc == 0 and best > 0:
+            cur = 0
+            for i in range(ilo, ihi + 1):
+                cur = max(cur, H[i, j], E[i, j])
+            if cur < best - x_drop:
+                return int(best)
+    return int(best)
 
 
 def sw_band_reference(q, s, D: int, subst, gap_first: int,

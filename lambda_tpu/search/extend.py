@@ -398,6 +398,32 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
 
 import functools
 
+_hbm_warned = False
+
+
+def _warn_image_hbm(B: int, N: int, D: int) -> None:
+    """Warn once when a bucket's banded substitution image is likely to
+    exhaust device memory (the transient the round-2 preflight missed —
+    checkRAM device analogue, search_algo.hpp:126-155)."""
+    global _hbm_warned
+    if _hbm_warned:
+        return
+    from ..ops import sw_band
+
+    need = sw_band.image_bytes(B, N, D)
+    if need < (1 << 29):                  # < 512 MiB: never worth a check
+        return
+    try:
+        limit = jax.devices()[0].memory_stats().get("bytes_limit", 0)
+    except Exception:
+        limit = 0
+    if limit and need > 0.5 * limit:
+        _hbm_warned = True
+        print(f"WARNING: extension bucket (B={B}, N={N}, band={D}) needs "
+              f"a ~{need >> 20} MiB substitution image of ~{limit >> 20} "
+              "MiB device memory; reduce --query-batch-size or shard the "
+              "database over more devices.")
+
 
 @functools.partial(jax.jit, static_argnames=("N", "D", "gap_first",
                                              "gap_extend"))
@@ -454,6 +480,7 @@ def sw_scores_device(m: MatchBatch, d_trans_q, d_trans_sbj, d_sbj_offsets,
         idxs = np.asarray(idxs)
         N, W, BTL, _, _ = sw_band._plan(qbk + dbk, dbk)
         Bp = sw_band._ceil(len(idxs), BTL)
+        _warn_image_hbm(Bp, N, dbk)
 
         def pad_i32(a, fill=0):
             out = np.full(Bp, fill, dtype=np.int32)

@@ -248,6 +248,16 @@ class SearchContext:
             else sum(s.keys.nbytes + s.pos.nbytes * 2
                      for s in idx.kmer_shards)
         need = (kbytes + len(idx.trans_concat)) // max(self.db_shards, 1)
+        # dominant transient (missed by the round-2 preflight): the banded
+        # substitution image of the extension score pass.  Nominal bucket:
+        # the per-batch hit budget at the flagship (qlen 256, band 39)
+        # shape; the exact per-bucket estimate also warns at dispatch time
+        # (extend._warn_image_hbm).
+        from ..ops import sw_band
+        b_budget = int(opt.max_hits_per_query_frame) * 8
+        n_img, _, _, _, _ = sw_band._plan(256 + 39, 39)
+        need += sw_band.image_bytes(b_budget, n_img, 39) \
+            // max(self.db_shards * self.q_shards, 1)
         try:
             limit = jax.devices()[0].memory_stats().get("bytes_limit", 0)
         except Exception:

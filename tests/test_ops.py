@@ -283,3 +283,77 @@ def test_sw_band_layouts_match_reference(monkeypatch, layout):
     want = [sw_band.sw_band_reference(q[b], s[b], int(d[b]), subst, -12, -1)
             for b in range(len(d))]
     assert list(got) == want
+
+
+# ---------------------------------------------------------------------------
+# X-drop early termination (LAMBDA_SW_XDROP) — semantics pinned against the
+# scalar chunk-granular reference (interpret mode)
+# ---------------------------------------------------------------------------
+
+
+def _xdrop_setup(monkeypatch):
+    from lambda_tpu.ops import sw_band, sw_pallas
+
+    monkeypatch.setattr(sw_band, "_BT_CAP", 8)
+    monkeypatch.setattr(sw_band, "_BTL_CAP", 128)
+    # force a small column chunk so the X-drop check fires inside the
+    # test-sized window (production NC is 2048)
+    orig_plan = sw_band._plan
+
+    def small_nc(Ns, D, layout=None):
+        N, W, BROWS, NC, JB = orig_plan(Ns, D, layout)
+        return N, W, BROWS, 16, JB
+
+    monkeypatch.setattr(sw_band, "_plan", small_nc)
+    A = 4
+    subst = np.full((A, A), -10, dtype=np.int32)
+    np.fill_diagonal(subst, 5)
+    e8 = sw_pallas.extend_matrix8(subst)
+    # m1 (20 matches), deep trough (40 mismatches), m2 (30 matches):
+    # exact banded best restarts after the trough (150); with a small X
+    # the alignment is latched dead inside the trough (100)
+    q = np.zeros((1, 90), dtype=np.int32)
+    s = np.zeros((1, 90), dtype=np.int32)
+    q[0, 20:60] = 1
+    s[0, 20:60] = 2
+    q[0, 60:90] = s[0, 60:90] = 3
+    d = np.zeros(1, dtype=np.int32)
+    return sw_band, subst, e8, q, s, d
+
+
+def test_xdrop_large_x_is_exact(monkeypatch):
+    sw_band, subst, e8, q, s, d = _xdrop_setup(monkeypatch)
+    monkeypatch.setattr(sw_band, "_XDROP", 10000)
+    got = sw_band.sw_band_score_pallas(q, s, d, e8, -12, -1, interpret=True)
+    assert int(got[0]) == sw_band.sw_band_reference(
+        q[0], s[0], 0, subst, -12, -1) == 150
+
+
+def test_xdrop_small_x_latches_dead(monkeypatch):
+    sw_band, subst, e8, q, s, d = _xdrop_setup(monkeypatch)
+    monkeypatch.setattr(sw_band, "_XDROP", 16)
+    got = sw_band.sw_band_score_pallas(q, s, d, e8, -12, -1, interpret=True)
+    want = sw_band.sw_band_xdrop_reference(q[0], s[0], 0, subst, -12, -1,
+                                           x_drop=16, nc=16)
+    assert int(got[0]) == want == 100
+    # exact banded DP disagrees: the documented trough-restart miss
+    assert sw_band.sw_band_reference(q[0], s[0], 0, subst, -12, -1) == 150
+
+
+def test_xdrop_batch_composition_invariant(monkeypatch):
+    """A latched-dead alignment must not revive because a tile-mate is
+    still alive: scores are identical alone vs batched with a
+    long-running high scorer."""
+    sw_band, subst, e8, q, s, d = _xdrop_setup(monkeypatch)
+    monkeypatch.setattr(sw_band, "_XDROP", 16)
+    alone = sw_band.sw_band_score_pallas(q, s, d, e8, -12, -1,
+                                         interpret=True)
+    q2 = np.zeros((2, 90), dtype=np.int32)
+    s2 = np.zeros((2, 90), dtype=np.int32)
+    q2[0], s2[0] = q[0], s[0]
+    q2[1] = s2[1] = 2          # 90 matches: alive to the last column
+    d2 = np.zeros(2, dtype=np.int32)
+    both = sw_band.sw_band_score_pallas(q2, s2, d2, e8, -12, -1,
+                                        interpret=True)
+    assert int(both[0]) == int(alone[0]) == 100
+    assert int(both[1]) == 450

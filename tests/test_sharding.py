@@ -332,14 +332,17 @@ def test_cli_q_and_db_shards_matches_unsharded(tmp_path, qs, dbs):
     fasta.write_fasta(q, [
         fasta.SeqRecord(f"q{i}", GYRA[i * 40:i * 40 + 80].encode())
         for i in range(6)])
+    # DEFAULT configuration (adaptive seeding ON): the psum'd adaptive
+    # decisions must make the full mesh byte-identical to one device
+    # (round-2 verdict weak #5)
     ref = tmp_path / "ref.m8"
     r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(ref),
-                "--adaptive-seeding", "0", "-v", "0")
+                "-v", "0")
     assert r.returncode == 0, r.stderr
     out = tmp_path / f"out_{qs}x{dbs}.m8"
     r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
                 "--q-shards", str(qs), "--db-shards", str(dbs),
-                "--adaptive-seeding", "0", "-v", "0")
+                "-v", "0")
     assert r.returncode == 0, r.stderr
     assert out.read_text() == ref.read_text()
     assert "GYRA_ECOLI" in ref.read_text()
