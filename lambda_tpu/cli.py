@@ -184,6 +184,14 @@ def search_main(sub: str, argv: list[str]) -> int:
                         "host — the per-host slice of a multi-host "
                         "deployment; results cover only those shards' "
                         "subjects")
+    p.add_argument("--merge-annotations", default="0", choices=("0", "1"),
+                   help="append the internal merge annotation column to "
+                        "m8 lines (multi-host runs; consumed and removed "
+                        "by tools/merge_m8 --annotated)")
+    p.add_argument("--distributed", default="", metavar="ADDR,PID,N",
+                   help="multi-process init: coordinator address, this "
+                        "process id, total process count "
+                        "(jax.distributed.initialize)")
     p.add_argument("-v", "--verbosity", type=int, default=1, choices=(0, 1, 2))
     p.add_argument("--adaptive-seeding", default="1", choices=("0", "1"))
     p.add_argument("--seed-half-exact", default="1", choices=("0", "1"))
@@ -263,6 +271,8 @@ def search_main(sub: str, argv: list[str]) -> int:
     opt.shard_subset = ([int(x) for x in args.shard_subset.split(",")]
                         if args.shard_subset else None)
     opt.profile_dir = args.trace_dir
+    opt.merge_annotations = args.merge_annotations == "1"
+    opt.distributed = args.distributed
     opt.qry_orig_alphabet = args.input_alphabet
     opt.query_batch_size = args.query_batch
 

@@ -91,6 +91,27 @@ def reduce_frames(trans_frames: list[np.ndarray], trans_alph: str,
     return _reduce_frames(trans_frames, trans_alph, red_alph)
 
 
+def subject_frame_lengths(seq_lens: np.ndarray, orig_alph: str,
+                          trans_alph: str, red_alph: str) -> np.ndarray:
+    """Translated-frame lengths computed ARITHMETICALLY from original
+    sequence lengths (no translation): lets a host know the global
+    frame-length table — and therefore dbTotalLength for e-values
+    (search_algo.hpp:317-319) — while materializing only its own
+    shard's sequences (per-host memory sharding).  Must agree with
+    :func:`subject_trans_frames` (tested)."""
+    seq_lens = np.asarray(seq_lens, dtype=np.int64)
+    if red_alph == ab.DNA3BS:
+        return np.repeat(seq_lens, 2)
+    if orig_alph != trans_alph:          # dna5 -> aa27, 6 frames
+        out = np.empty(len(seq_lens) * 6, dtype=np.int64)
+        for s in range(3):
+            fl = np.maximum((seq_lens - s) // 3, 0)
+            out[s::6] = fl
+            out[3 + s::6] = fl
+        return out
+    return seq_lens.copy()
+
+
 def concat_frames(frames: list[np.ndarray]):
     """Flatten a list of frames into (concat u8, offsets u64, lengths u64).
     offsets has len(frames)+1 entries."""

@@ -33,6 +33,28 @@ from .build import KmerIndex, build_kmer_index
 INDEX_GENERATION = 1
 
 
+class SubsetList:
+    """Global-indexed view over a partially loaded per-shard payload
+    (multi-host memory sharding): ``len()`` is the GLOBAL count, item
+    access resolves loaded subjects and raises for unloaded ones —
+    matches from the loaded shards never touch the latter."""
+
+    def __init__(self, total: int, data: dict):
+        self._n = total
+        self._data = data
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i):
+        try:
+            return self._data[int(i)]
+        except KeyError:
+            raise KeyError(
+                f"subject {i} is not loaded on this host "
+                "(--shard-subset)") from None
+
+
 @dataclasses.dataclass
 class IndexData:
     """In-memory index (loaded or freshly built)."""
@@ -62,6 +84,13 @@ class IndexData:
     shard_subj_bounds: np.ndarray | None = None
     loaded_shards: list = dataclasses.field(default_factory=list)
 
+    # per-host memory sharding (seq-in-shards layout): GLOBAL original
+    # sequence lengths; ``ids``/``seqs`` may then be SubsetList views
+    # holding only the loaded shards' data (shared_definitions.hpp:343-379
+    # contract: the reference's RAM envelope is per-host; here a host
+    # materializes only its shard subset)
+    seq_lengths: np.ndarray | None = None
+
     # derived on load (translated frames for prescore/extension)
     trans_frames: list[np.ndarray] = dataclasses.field(default_factory=list)
     trans_concat: np.ndarray | None = None
@@ -74,13 +103,22 @@ class IndexData:
 
     @property
     def sbj_num_frames(self) -> int:
-        return len(self.trans_frames) // max(len(self.seqs), 1)
+        """Frames per subject, derived from the alphabet chain (valid
+        also under a partial load where trans_frames holds only the
+        loaded shards' frames)."""
+        if self.red_alph == ab.DNA3BS:
+            return 2
+        if self.orig_alph != self.trans_alph:
+            return 6
+        return 1
 
     @property
     def db_total_length(self) -> int:
         """Sum of reduced (== translated) frame lengths; feeds dbTotalLength
-        for e-values (search_algo.hpp:317-319)."""
-        return int(self.trans_offsets[-1]) if self.trans_offsets is not None else 0
+        for e-values (search_algo.hpp:317-319).  GLOBAL even under a
+        partial per-host load (trans_lengths is the global table)."""
+        return int(self.trans_lengths.sum()) \
+            if self.trans_lengths is not None else 0
 
     @property
     def has_s_tax_ids(self) -> bool:
@@ -93,12 +131,51 @@ class IndexData:
 
     def materialize_frames(self) -> None:
         """Recompute translated subject frames from original seqs (the
-        reference does this lazily at load, search_algo.hpp:274-275)."""
+        reference does this lazily at load, search_algo.hpp:274-275).
+
+        Under a partial per-host load (seq-in-shards layout +
+        --shard-subset), only the LOADED subjects are translated; the
+        frame-length table stays GLOBAL (arithmetic,
+        fr.subject_frame_lengths) and ``trans_offsets`` maps global
+        frame ids into the loaded concat (unloaded frames get
+        zero-length slots) — host RAM and device HBM scale with the
+        shard subset, not the database."""
+        if isinstance(self.seqs, SubsetList):
+            self._materialize_partial()
+            return
         self.trans_frames = fr.subject_trans_frames(
             self.seqs, self.orig_alph, self.trans_alph, self.red_alph,
             self.genetic_code)
         self.trans_concat, self.trans_offsets, self.trans_lengths = (
             fr.concat_frames(self.trans_frames))
+
+    def _materialize_partial(self) -> None:
+        fps = self.sbj_num_frames
+        glens = fr.subject_frame_lengths(
+            self.seq_lengths, self.orig_alph, self.trans_alph,
+            self.red_alph)
+        N = len(self.seq_lengths)
+        F = N * fps
+        loaded_subj = sorted(self.seqs._data.keys())
+        frames = fr.subject_trans_frames(
+            [self.seqs._data[s] for s in loaded_subj], self.orig_alph,
+            self.trans_alph, self.red_alph, self.genetic_code)
+        loaded_frame_ids = [s * fps + f for s in loaded_subj
+                            for f in range(fps)]
+        # arithmetic lengths must agree with the actual translation
+        for fid, fa in zip(loaded_frame_ids, frames):
+            assert len(fa) == glens[fid], (fid, len(fa), glens[fid])
+        contrib = np.zeros(F, dtype=np.int64)
+        contrib[loaded_frame_ids] = glens[loaded_frame_ids]
+        offsets = np.zeros(F + 1, dtype=np.int64)
+        np.cumsum(contrib, out=offsets[1:])
+        self.trans_frames = SubsetList(
+            F, dict(zip(loaded_frame_ids, frames)))
+        self.trans_concat = (np.concatenate(
+            [f.astype(np.uint8) for f in frames]) if frames
+            else np.zeros(0, np.uint8))
+        self.trans_offsets = offsets
+        self.trans_lengths = glens
 
     @property
     def kmer_meta(self) -> KmerIndex:
@@ -305,13 +382,9 @@ def save_index(idx: IndexData, path: str) -> None:
         kmer_alphabet_size=meta.alphabet_size,
         shards=n_shards,
     )
-    seq_concat, seq_offsets, _ = fr.concat_frames(idx.seqs)
     stax_flat, stax_offs = _pack_ragged_ints(idx.s_tax_ids)
     payload = dict(
         header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8).copy(),
-        ids=_pack_strings(idx.ids),
-        seq_concat=seq_concat,
-        seq_offsets=seq_offsets,
         stax_flat=stax_flat,
         stax_offsets=stax_offs,
         taxon_parents=idx.taxon_parents,
@@ -319,9 +392,22 @@ def save_index(idx: IndexData, path: str) -> None:
         taxon_names=_pack_strings(idx.taxon_names),
     )
     if n_shards:
+        # seq-in-shards layout (per-host memory sharding): the global
+        # file keeps only lengths + taxonomy + bounds; sequences and ids
+        # live in the shard sidecars so a host's RAM scales with its
+        # --shard-subset (ref RAM contract: search_algo.hpp:137-143,
+        # shared_definitions.hpp:343-379)
+        header["seq_in_shards"] = 1
+        payload["header"] = np.frombuffer(
+            json.dumps(header).encode(), dtype=np.uint8).copy()
         payload["shard_subj_bounds"] = idx.shard_subj_bounds
+        payload["seq_lengths"] = np.array(
+            [len(s) for s in idx.seqs], dtype=np.int64)
     else:
-        payload.update(kmer_keys=idx.kmer.keys, kmer_pos=idx.kmer.pos,
+        seq_concat, seq_offsets, _ = fr.concat_frames(idx.seqs)
+        payload.update(ids=_pack_strings(idx.ids),
+                       seq_concat=seq_concat, seq_offsets=seq_offsets,
+                       kmer_keys=idx.kmer.keys, kmer_pos=idx.kmer.pos,
                        kmer_frame=idx.kmer.frame)
     import os
 
@@ -332,9 +418,15 @@ def save_index(idx: IndexData, path: str) -> None:
             os.replace(str(p) + ".npz", p)
 
     _savez(path, **payload)
+    bounds = idx.shard_subj_bounds
     for k, sh in enumerate(idx.kmer_shards):
+        s_lo, s_hi = int(bounds[k]), int(bounds[k + 1])
+        sc, so, _ = fr.concat_frames([idx.seqs[i]
+                                      for i in range(s_lo, s_hi)])
         _savez(shard_path(path, k), kmer_keys=sh.keys, kmer_pos=sh.pos,
-               kmer_frame=sh.frame)
+               kmer_frame=sh.frame,
+               ids=_pack_strings(idx.ids[s_lo:s_hi]),
+               seq_concat=sc, seq_offsets=so)
 
 
 def read_index_options(path: str) -> dict:
@@ -379,14 +471,21 @@ def load_index(path: str, shards: list[int] | None = None) -> IndexData:
 def _load_payload(path: str, header: dict,
                   shards: list[int] | None = None) -> IndexData:
     n_shards = int(header.get("shards", 0))
+    seq_in_shards = bool(header.get("seq_in_shards", 0))
     meta = dict(alphabet_size=header["kmer_alphabet_size"],
                 bits=header["kmer_bits"], words=header["kmer_words"])
     with np.load(path, allow_pickle=False) as z:
-        ids = _unpack_strings(z["ids"])
-        seq_concat = z["seq_concat"]
-        seq_offsets = z["seq_offsets"]
-        seqs = [seq_concat[seq_offsets[i] : seq_offsets[i + 1]]
-                for i in range(len(seq_offsets) - 1)]
+        seq_lengths = None
+        if seq_in_shards:
+            ids = None
+            seqs = None
+            seq_lengths = z["seq_lengths"]
+        else:
+            ids = _unpack_strings(z["ids"])
+            seq_concat = z["seq_concat"]
+            seq_offsets = z["seq_offsets"]
+            seqs = [seq_concat[seq_offsets[i] : seq_offsets[i + 1]]
+                    for i in range(len(seq_offsets) - 1)]
         s_tax_ids = _unpack_ragged_ints(z["stax_flat"], z["stax_offsets"])
         kmer = None
         bounds = None
@@ -410,6 +509,7 @@ def _load_payload(path: str, header: dict,
             taxon_names=_unpack_strings(z["taxon_names"]),
             kmer=kmer,
             shard_subj_bounds=bounds,
+            seq_lengths=seq_lengths,
         )
     if n_shards:
         want = list(range(n_shards)) if shards is None else list(shards)
@@ -419,12 +519,22 @@ def _load_payload(path: str, header: dict,
                 f"ERROR: shard ids {bad} out of range for a {n_shards}-"
                 "shard index.")
         shard_list: list[KmerIndex] = []
+        id_map: dict = {}
+        seq_map: dict = {}
         for k in range(n_shards):
             if k in want:
                 with np.load(shard_path(path, k), allow_pickle=False) as zs:
                     shard_list.append(KmerIndex(
                         keys=zs["kmer_keys"], pos=zs["kmer_pos"],
                         frame=zs["kmer_frame"], **meta))
+                    if seq_in_shards:
+                        s_lo = int(bounds[k])
+                        sids = _unpack_strings(zs["ids"])
+                        sc = zs["seq_concat"]
+                        so = zs["seq_offsets"]
+                        for j in range(len(so) - 1):
+                            id_map[s_lo + j] = sids[j]
+                            seq_map[s_lo + j] = sc[so[j]:so[j + 1]]
             else:
                 shard_list.append(KmerIndex(
                     keys=np.zeros((0, meta["words"]), np.uint32),
@@ -432,6 +542,18 @@ def _load_payload(path: str, header: dict,
                     frame=np.zeros(0, np.uint32), **meta))
         idx.kmer_shards = shard_list
         idx.loaded_shards = want
+        if seq_in_shards:
+            n_subj = len(seq_lengths)
+            if len(want) == n_shards:
+                # full load: plain lists, identical behavior to the
+                # unsharded layout (SAM ref headers etc. keep working)
+                idx.ids = [id_map[i] for i in range(n_subj)]
+                idx.seqs = [seq_map[i] for i in range(n_subj)]
+            else:
+                idx.ids = SubsetList(n_subj, id_map)
+                idx.seqs = SubsetList(n_subj, seq_map)
+    elif seq_in_shards:
+        raise RuntimeError("corrupt header: seq_in_shards without shards")
     idx.materialize_frames()
     return idx
 

@@ -148,6 +148,17 @@ class LambdaOptions:
     query_batch_size: int = 64
     max_hits_per_query_frame: int = 2048
 
+    # multi-host deployment (docs/MULTIHOST.md):
+    # append an internal annotation column to m8 lines (subject db
+    # position + frame-space coordinates + raw score) so merge_m8 can
+    # reproduce the single-host total order EXACTLY (incl. database-
+    # position tie order, search_algo.hpp:832-862)
+    merge_annotations: bool = False
+    # "coordinator_addr:port,process_id,num_processes" -> calls
+    # jax.distributed.initialize before the search (per-host runs share
+    # no runtime state; init exercises the process-level runtime)
+    distributed: str = "" 
+
 
 def make_search_options(domain: Domain, **overrides) -> LambdaOptions:
     """Construct options with the reference's per-domain defaults

@@ -142,7 +142,10 @@ class BlastTabWriter:
                 self.fh.write(f"# Fields: {names}\n")
             self.fh.write(f"# {len(matches)} hits found\n")
         for m in matches:
-            self.fh.write("\t".join(str(m[c]) for c in self.columns) + "\n")
+            line = "\t".join(str(m[c]) for c in self.columns)
+            if "_merge_annot" in m:          # multi-host exact-order merge
+                line += "\t" + m["_merge_annot"]
+            self.fh.write(line + "\n")
 
     def write_footer(self) -> None:
         if self.with_comments:

@@ -146,6 +146,13 @@ class SamBamWriter:
         self.path = path
         self.tags = [t for t in TAG_ORDER if t in opt.sam_bam_tags]
         # contig names truncated at first whitespace (search_output.hpp:360-375)
+        from ..index import artifact as _art
+
+        if isinstance(ctx.idx.ids, _art.SubsetList):
+            raise RuntimeError(
+                "SAM/BAM output requires the full reference table; "
+                "--shard-subset runs must write m8/m9 and merge with "
+                "tools/merge_m8.")
         self.refs = [i.split(None, 1)[0] if i else i for i in ctx.idx.ids]
         self.ref_lens = [len(s) for s in ctx.idx.seqs]
         self._prev_seq_key = None

