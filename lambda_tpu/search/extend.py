@@ -344,7 +344,7 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
         dev_fwd = jnp.asarray(subst_ext_fwd)
         dev_rev = jnp.asarray(subst_ext_rev)
 
-    for (qbk, dbk, r), idxs in group_keys.items():
+    for (qbk, dbk, r), idxs in _fuse_dispatch_groups(group_keys):
         B = len(idxs)
         sbk = qbk + dbk
         qarr = np.full((B, qbk), pad, dtype=np.int32)
@@ -425,6 +425,68 @@ def _warn_image_hbm(B: int, N: int, D: int) -> None:
               "database over more devices.")
 
 
+def _fuse_params():
+    """(fixed_dispatch_seconds, seconds_per_padded_cell) for the dispatch
+    fusion cost model.  Defaults from the round-2 kernel measurements:
+    ~0.6-1.3 ms fixed cost per kernel dispatch (image setup + Mosaic
+    launch) and ~1e10 padded band cells/s sustained; tune with
+    LAMBDA_SWB_FUSE_FIXED_US / LAMBDA_SWB_CELL_PS."""
+    fixed = float(os.environ.get("LAMBDA_SWB_FUSE_FIXED_US", "1500")) * 1e-6
+    cell = float(os.environ.get("LAMBDA_SWB_CELL_PS", "100")) * 1e-12
+    return fixed, cell
+
+
+def _fuse_dispatch_groups(group_keys: dict) -> list:
+    """Merge (qlen-bucket, band-bucket) shape classes into FEWER kernel
+    dispatches when the modeled cost of the extra padding is below the
+    fixed per-dispatch cost.
+
+    The reference extends every match in one OpenMP loop
+    (search_algo.hpp:1242-1289); the TPU design buckets matches into
+    padded shape classes, and at pipeline-sized batches those classes
+    fragment into many small dispatches that each pay the fixed kernel
+    dispatch cost (and, on remote-attached links, the host dispatch
+    latency).  Greedily merge class pairs while the modeled total cost
+    decreases.  Purely a performance decision: padding provably cannot
+    change scores (PAD scores -128 against everything; asserted by the
+    backend/batch invariance tests).
+
+    Returns [((qbk, dbk, rev), idx_array), ...] deterministically
+    ordered."""
+    from ..ops import sw_band
+
+    groups = {k: list(v) for k, v in group_keys.items()}
+    if os.environ.get("LAMBDA_SWB_FUSE", "1") == "0" or len(groups) <= 1:
+        return [(k, np.asarray(sorted(v)))
+                for k, v in sorted(groups.items())]
+    fixed, cell = _fuse_params()
+
+    def gcost(qbk, dbk, nb):
+        N, W, BROWS, _, _ = sw_band._plan(qbk + dbk, dbk)
+        return fixed + sw_band._ceil(nb, BROWS) * N * W * cell
+
+    while len(groups) > 1:
+        best = None  # (delta, merged_key, key_a, key_b)
+        keys = sorted(groups)
+        for ai in range(len(keys)):
+            for bi in range(ai + 1, len(keys)):
+                (qa, da, ra), (qb_, db_, rb) = keys[ai], keys[bi]
+                if ra != rb:
+                    continue
+                mk = (max(qa, qb_), max(da, db_), ra)
+                na, nb = len(groups[keys[ai]]), len(groups[keys[bi]])
+                delta = (gcost(mk[0], mk[1], na + nb)
+                         - gcost(qa, da, na) - gcost(qb_, db_, nb))
+                if delta < 0 and (best is None or delta < best[0]):
+                    best = (delta, mk, keys[ai], keys[bi])
+        if best is None:
+            break
+        _, mk, ka, kb = best
+        merged = groups.pop(ka) + groups.pop(kb)
+        groups.setdefault(mk, []).extend(merged)
+    return [(k, np.asarray(sorted(v))) for k, v in sorted(groups.items())]
+
+
 @functools.partial(jax.jit, static_argnames=("N", "D", "gap_first",
                                              "gap_extend"))
 def _device_score_bucket(trans_q, trans_sbj, sbj_offsets, sbj_lens,
@@ -476,8 +538,8 @@ def sw_scores_device(m: MatchBatch, d_trans_q, d_trans_sbj, d_sbj_offsets,
         group_keys.setdefault(
             (_bucket(int(qlen[i])), _bucket_d(int(d_row[i])), bool(rev[i])),
             []).append(i)
-    for (qbk, dbk, r), idxs in group_keys.items():
-        idxs = np.asarray(idxs)
+    pending = []          # dispatch ALL buckets first, then sync once
+    for (qbk, dbk, r), idxs in _fuse_dispatch_groups(group_keys):
         N, W, BTL, _, _ = sw_band._plan(qbk + dbk, dbk)
         Bp = sw_band._ceil(len(idxs), BTL)
         _warn_image_hbm(Bp, N, dbk)
@@ -493,5 +555,9 @@ def sw_scores_device(m: MatchBatch, d_trans_q, d_trans_sbj, d_sbj_offsets,
             pad_i32(m.subj_id), pad_i32(m.d_lo), pad_i32(d_row),
             jnp.asarray(e8_rev if r else e8_fwd),
             N, dbk, int(gap_first), int(gap_extend))
+        pending.append((idxs, out))
+    # single host sync point: per-bucket np.asarray() inside the loop
+    # would serialize one full dispatch+link round-trip per bucket
+    for idxs, out in pending:
         scores[idxs] = np.asarray(out)[:len(idxs)]
     return scores

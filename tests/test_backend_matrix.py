@@ -68,3 +68,41 @@ def test_backend_matrix_byte_parity(workdir):
     for i, data in enumerate(outs[1:], start=1):
         assert data == outs[0], (
             f"backend combo {COMBOS[i]} diverged from {COMBOS[0]}")
+
+
+def test_dispatch_fusion_byte_parity(workdir):
+    """Merging (qlen, band) shape classes into fewer, larger-padded kernel
+    dispatches (extend._fuse_dispatch_groups) must not change output bytes:
+    PAD ranks score -128 against everything, so extra padding is inert."""
+    base = {"LAMBDA_SW_KERNEL": "xla", "LAMBDA_NO_NATIVE": "1"}
+    fused = _search(workdir, "fuse_on", {**base, "LAMBDA_SWB_FUSE": "1",
+                                         "LAMBDA_SWB_FUSE_FIXED_US": "1e9"})
+    unfused = _search(workdir, "fuse_off", {**base, "LAMBDA_SWB_FUSE": "0"})
+    assert fused == unfused
+
+
+def test_fuse_planner_merges_and_preserves_indices():
+    """The planner returns the exact original index partition (no match
+    lost or duplicated) and merges compatible classes when the fixed
+    dispatch cost dominates."""
+    import numpy as np
+    from lambda_tpu.search.extend import _fuse_dispatch_groups
+
+    groups = {(64, 16, False): [0, 3, 5],
+              (128, 16, False): [1, 2],
+              (64, 16, True): [4],
+              (256, 32, False): [6]}
+    import os
+    os.environ["LAMBDA_SWB_FUSE_FIXED_US"] = "1e9"   # force full merge
+    try:
+        fused = _fuse_dispatch_groups(groups)
+    finally:
+        del os.environ["LAMBDA_SWB_FUSE_FIXED_US"]
+    all_idx = sorted(int(i) for _, v in fused for i in v)
+    assert all_idx == list(range(7))
+    # rev=True can never merge with rev=False (different matrices)
+    rev_groups = [k for k, _ in fused if k[2]]
+    assert rev_groups == [(64, 16, True)]
+    # with an enormous fixed cost, all three fwd classes collapse to one
+    fwd_groups = [k for k, _ in fused if not k[2]]
+    assert fwd_groups == [(256, 32, False)]
