@@ -144,8 +144,12 @@ class LambdaOptions:
     verbosity: int = 1
     command_line: str = ""
 
-    # device execution knobs (no reference equivalent; TPU-specific)
-    query_batch_size: int = 64
+    # device execution knobs (no reference equivalent; TPU-specific).
+    # 256 queries/batch feeds the extension kernel ~4x more alignments
+    # per dispatch than the round-2 default of 64 (the kernel's GCUPS
+    # keep rising with batch; the HBM preflight accounts the banded
+    # substitution image, so oversized batches warn instead of OOM).
+    query_batch_size: int = 256
     max_hits_per_query_frame: int = 2048
 
     # multi-host deployment (docs/MULTIHOST.md):

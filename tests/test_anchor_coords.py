@@ -151,3 +151,115 @@ def test_blastx_sam_softclip_cigar(pdb):
         assert f[5] == cig, (mode, f[5])
         # POS: subject-space start (protein subject; PEP starts at 25)
         assert f[3] == "25", f[3]
+
+
+def test_tblastx_dual_frame_untranslation(tmp_path):
+    """tblastx (DNA query vs translated-DNA db): BOTH coordinate pairs
+    untranslate to DNA, each mirrored when its frame is negative.
+
+    Subjects (hand computation in 1-based plus-strand coords):
+    * SPLUS = 'GG' + codons(DECOY+PEP) + 'AA': PEP at protein positions
+      24..33 of subject frame +3 -> DNA [3p+3, 3p+5] -> sstart 75,
+      send 104 (ascending).
+    * SMINUS = 'GGGG' + revcomp(codons(PEP)) + 'AA', L=36: on the
+      reverse strand ('TT' + codons(PEP) + 'CCCC') PEP starts at rc
+      offset 2 (a -frame).  rc nt position r maps to plus-strand L-r
+      (1-based), so protein p occupies [L-(2+3p+2), L-(2+3p)]:
+      sstart = 36-2 = 34 (first base read), send = 36-2-29 = 5
+      (descending).
+    Queries:
+    * QPLUS  = codons(PEP), frame +1: qstart 1, qend 30.
+    * QMINUS = revcomp(codons(PEP)), frame -1: qstart 30, qend 1
+      (same arithmetic as the blastx minus anchor above).
+    """
+    db = tmp_path / "xdb.fasta"
+    fasta.write_fasta(db, [
+        fasta.SeqRecord("SPLUS",
+                        ("GG" + rev_translate(DECOY + PEP) + "AA").encode()),
+        fasta.SeqRecord("SMINUS",
+                        ("GGGG" + revcomp(rev_translate(PEP)) + "AA").encode()),
+    ])
+    lit = tmp_path / "xdb.lit"
+    r = run_cli("mkindexp", "-d", str(db), "-i", str(lit), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    q = tmp_path / "xq.fasta"
+    fasta.write_fasta(q, [
+        fasta.SeqRecord("QPLUS", rev_translate(PEP).encode()),
+        fasta.SeqRecord("QMINUS", revcomp(rev_translate(PEP)).encode()),
+    ])
+    out = tmp_path / "x.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "-e", "1000", "--seed-length", "8",
+                "--output-columns", "std qframe sframe", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    pairs = {}
+    for rw in _m8_rows(out):
+        pairs.setdefault((rw[0], rw[1]), rw)   # best line per pair
+    for qid in ("QPLUS", "QMINUS"):
+        for sid in ("SPLUS", "SMINUS"):
+            assert (qid, sid) in pairs, (qid, sid, sorted(pairs))
+    qc = {"QPLUS": ("1", "30"), "QMINUS": ("30", "1")}
+    sc = {"SPLUS": ("75", "104"), "SMINUS": ("34", "5")}
+    for (qid, sid), rw in pairs.items():
+        assert (rw[6], rw[7]) == qc[qid], (qid, sid, rw)
+        assert (rw[8], rw[9]) == sc[sid], (qid, sid, rw)
+        # frame sign columns (std + qframe sframe -> cols 13, 14)
+        assert rw[12].startswith("-") == (qid == "QMINUS"), rw
+        assert rw[13].startswith("-") == (sid == "SMINUS"), rw
+
+
+def test_blastn_full_line_first_principles(tmp_path):
+    """Every column of a simple blastn m8 line computed independently of
+    the framework, per the published NCBI conventions:
+
+    * coordinates: query = subject[40:100] -> sstart 41, send 100.
+    * raw score: 60 exact matches x (+2) = 120 (blastn defaults
+      match/mismatch 2/-3, gaps -5/-2; search_options.hpp:318-321).
+    * Karlin-Altschul (blast_stat.c gapped table for 2/-3, gap 5/2):
+      lambda=0.625, K=0.41, alpha=0.8, beta=-2.
+    * bit score = (lambda*S - ln K)/ln 2.
+    * e-value = K * (m-l) * (n-l) * exp(-lambda*S) with the NCBI
+      length-adjustment fixed point l = alpha/lambda *
+      (ln K + ln((m-l)(n-l))) + beta, re-implemented here.
+    """
+    import math
+
+    rng = __import__("numpy").random.default_rng(3)
+    genome = "".join(rng.choice(list("ACGT"), 300))
+    db = tmp_path / "ndb.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("NSUBJ", genome.encode())])
+    lit = tmp_path / "ndb.lit"
+    r = run_cli("mkindexn", "-d", str(db), "-i", str(lit), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    q = tmp_path / "nq.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("NQ", genome[40:100].encode())])
+    out = tmp_path / "n.m8"
+    r = run_cli("searchn", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = [rw for rw in _m8_rows(out) if rw[0] == "NQ"]
+    assert rows, "no blastn match"
+    best = rows[0]
+
+    lam, K, alpha, beta = 0.625, 0.41, 0.8, -2.0
+    S, m, n = 120, 60.0, 300.0
+    bit = (lam * S - math.log(K)) / math.log(2.0)
+    ell = 0.0
+    for _ in range(20):
+        ell = alpha / lam * (math.log(K) + math.log((m - ell) * (n - ell))) \
+            + beta
+    ell = float(int(ell))      # NCBI floors the converged adjustment
+    evalue = K * (m - ell) * (n - ell) * math.exp(-lam * S)
+
+    from lambda_tpu.output.blast_tab import format_bitscore, format_evalue
+    assert best[1] == "NSUBJ"
+    assert best[2] == "100.00"
+    assert best[3:6] == ["60", "0", "0"], best      # length mm gaps
+    assert best[6:10] == ["1", "60", "41", "100"], best
+    assert best[11] == format_bitscore(bit), (best[11], bit)
+    # the m8 field carries ~1 significant digit; the exact check is the
+    # formatted-string equality below, the log bound only catches
+    # order-of-magnitude drift
+    got_e, want_e = float(best[10]), evalue
+    assert abs(math.log(got_e) - math.log(want_e)) < 0.5, (got_e, want_e)
+    assert best[10] == format_evalue(evalue), (best[10], evalue)
