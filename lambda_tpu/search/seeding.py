@@ -169,10 +169,11 @@ def make_seeder(cfg: SeedConfig):
     first-exact-chunk provenance dedup so each occurrence is reported
     once).  With half_exact the anchor is the exact FIRST HALF and
     verification covers the second half only (searchHalfExactImpl
-    semantics).  Deviations in this mode: adaptive elongation is
-    disabled (chunk anchors have no FM-cursor equivalent) and the
-    whole-seed abundance cutoff is not applied (chunk counts are not
-    comparable; the hit budget + overflow retry bound the work)."""
+    semantics).  The whole-seed abundance cutoff (search_algo.hpp:729)
+    is applied in stage 2 on the slot's VERIFIED occurrence count
+    (psum'd under db sharding).  Remaining deviation in this mode:
+    adaptive elongation is disabled (chunk anchors have no FM-cursor
+    equivalent)."""
 
     k = cfg.seed_length
     pigeon = cfg.max_seed_dist >= 2
@@ -320,10 +321,10 @@ def make_seeder(cfg: SeedConfig):
                     jax.lax.fori_loop(0, cfg.ext_max, ext_body, st0)
 
             # abundance cutoff (search_algo.hpp:729) — decided on GLOBAL
-            # counts under db sharding.  Not applied in pigeonhole mode:
-            # chunk-anchor counts are counts of a much shorter string
-            # than the reference's whole-seed cursor counts; the hit
-            # budget (+ overflow retry) bounds pathological cases.
+            # counts under db sharding.  In pigeonhole mode chunk-anchor
+            # counts are counts of a much shorter string, so the cutoff
+            # is applied in stage 2 on the verified whole-seed counts
+            # instead.
             keep = (count > 0) if pigeon \
                 else (count > 0) & (gcount <= cfg.occ_cap)
             kept_count = jnp.where(keep, count, 0)
@@ -347,12 +348,20 @@ def make_seeder(cfg: SeedConfig):
         # outs entries: (T, Q, V) -> reshape to (Q, T*V) cursor lists
         res = {kk: jnp.transpose(vv, (1, 0, 2)).reshape(Q, T * V)
                for kk, vv in outs.items()}
+        # seed-slot identity (q*T + t) of every cursor: column i of row q
+        # came from slot t = i // V (stage2's whole-seed abundance cutoff
+        # groups verified hits by this id)
+        res["slot"] = jnp.broadcast_to(
+            (jnp.arange(Q, dtype=jnp.int32) * T)[:, None]
+            + (jnp.arange(T * V, dtype=jnp.int32) // V)[None, :],
+            (Q, T * V))
         return res
 
     def stage2_impl(kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
                     trans_sbj, trans_q, tq_lens,
                     cur_lo, cur_count, cur_seedlen, cur_frame, cur_begin,
-                    cur_shift, red_q, red_sbj,
+                    cur_shift, cur_slot, slot_zeros, slot_frame_d,
+                    slot_begin_d, slot_rem_d, hits0, red_q, red_sbj,
                     subst_fwd, subst_rev):
         """Flat locate (+ pigeonhole verification) + prescore.
 
@@ -409,6 +418,106 @@ def make_seeder(cfg: SeedConfig):
                 exact_c = ~jnp.any(region, axis=1)
                 dup = dup | (exact_c & (c < cidx))
             hit_valid = hit_valid & ok & ~dup
+
+            # whole-seed abundance cutoff + adaptive elongation
+            # (search_algo.hpp:679-729): a seed slot's VERIFIED
+            # occurrences are exactly the reference's whole-seed
+            # approximate-match count, so the decisions the chunk-anchor
+            # counts could not express apply here, on GLOBAL (psum'd)
+            # counts under db sharding so every shard drops/extends the
+            # same slots.  (The reference takes both decisions per
+            # search-branch cursor whose counts are fractions of this
+            # total; deviation documented in PARITY.md.)
+            slot = cur_slot[cursor_of]
+            vi = hit_valid.astype(jnp.int32)
+
+            def _vq(x):
+                # q-axis variance only: every operand of the slot scan
+                # below is either query-derived or a post-psum count
+                # (invariant over the db axis), so carries must NOT be
+                # cast db-varying or the fori/scan types mismatch
+                for ax in cfg.vary_axes:
+                    x = jax.lax.pcast(x, ax, to="varying")
+                return x
+
+            if cfg.adaptive and cfg.ext_max > 0:
+                # adaptive elongation by VERIFICATION (the cursor
+                # extendRight equivalent, search_algo.hpp:679-726):
+                # occurrences surviving an e-char elongation are those
+                # whose subject continues to match the query exactly in
+                # reduced space; per-slot survivor counts reproduce the
+                # cursor-count sequence the reference's accept/revert
+                # loop walks, and the desiredOccs/hitsThisSeq feedback
+                # runs as a scan over the query's slots in schedule
+                # order (same order as the reference's seed loop).
+                E = cfg.ext_max
+                Qd, Td = slot_frame_d.shape
+                er = jnp.arange(E, dtype=jnp.int32)
+                qpos = qbegin[:, None] + k + er[None, :]
+                spos = s_off[:, None] + k + er[None, :]
+                qch = red_q[jnp.clip(qframe, 0, red_q.shape[0] - 1)[:, None],
+                            jnp.clip(qpos, 0, red_q.shape[1] - 1)]
+                sch = red_sbj[jnp.clip(sbj_offsets[sframe][:, None] + spos,
+                                       0, red_sbj.shape[0] - 1)] \
+                    .astype(jnp.int32)
+                okch = (qch == sch) & (spos < sbj_lens[sframe][:, None]) \
+                    & (qpos < tq_lens[jnp.clip(qframe, 0,
+                                               tq_lens.shape[0] - 1)][:, None])
+                ext_cum = jnp.cumprod(okch.astype(jnp.int32), axis=1)
+                ext_len = jnp.sum(ext_cum, axis=1)              # (Hn,)
+                upd = vi[:, None] * jnp.concatenate(
+                    [jnp.ones((Hn, 1), jnp.int32), ext_cum], axis=1)
+                cnt = jnp.zeros((Qd * Td, E + 1), jnp.int32) \
+                    .at[slot].add(upd)
+                if cfg.psum_axis:
+                    cnt = jax.lax.psum(cnt, cfg.psum_axis)
+
+                cnt3 = cnt.reshape(Qd, Td, E + 1).transpose(1, 0, 2)
+                mm = cfg.max_matches
+
+                def slot_step(hts, inp):
+                    cnt_t, g_t, b_t, rem_t = inp
+                    valid_t = g_t >= 0
+                    flen = tq_lens[jnp.maximum(g_t, 0)]
+                    desired = jnp.where(
+                        hts >= mm, 1,
+                        jnp.maximum((mm - hts) * cfg.heuristic_factor
+                                    // jnp.maximum(rem_t, 1), 1))
+
+                    def e_body(e, st):
+                        L, gcnt, frozen = st
+                        c2 = cnt_t[:, e + 1]
+                        can = (~frozen) & (b_t + k + e < flen) & (gcnt > 0)
+                        revert = (c2 < desired) & (c2 < gcnt)
+                        accept = can & ~revert
+                        frozen = frozen | (can & revert) | ~can
+                        L = jnp.where(accept, L + 1, L)
+                        gcnt = jnp.where(accept, c2, gcnt)
+                        return L, gcnt, frozen
+
+                    L, gcnt, _ = jax.lax.fori_loop(
+                        0, E, e_body,
+                        (_vq(jnp.zeros(Qd, jnp.int32)), cnt_t[:, 0],
+                         _vq(jnp.zeros(Qd, bool))))
+                    keep_t = valid_t & (gcnt > 0) & (gcnt <= cfg.occ_cap)
+                    hts = hts + jnp.where(keep_t, gcnt, 0)
+                    return hts, (L, keep_t)
+
+                # hits0 is an input (already q-varying under shard_map)
+                _, (L_T, keep_T) = jax.lax.scan(
+                    slot_step, hits0,
+                    (cnt3, slot_frame_d.T, slot_begin_d.T, slot_rem_d.T))
+                L_dense = L_T.T.reshape(Qd * Td)
+                keep_dense = keep_T.T.reshape(Qd * Td)
+                L_h = L_dense[slot]
+                hit_valid = hit_valid & keep_dense[slot] & (ext_len >= L_h)
+                slen_seed = jnp.where(hit_valid, k + L_h, slen_seed)
+            else:
+                occ_dense = slot_zeros.at[slot].add(vi)
+                if cfg.psum_axis:
+                    occ_dense = jax.lax.psum(occ_dense, cfg.psum_axis)
+                abundant = occ_dense[slot] > cfg.occ_cap
+                hit_valid = hit_valid & ~abundant
 
         if cfg.pre_scoring > 0:
             # seedLooksPromising (search_algo.hpp:426-481)
@@ -499,10 +608,13 @@ def make_seeder(cfg: SeedConfig):
             x = jnp.pad(x, (0, C - c_eff))
             return jnp.where(jnp.arange(C) < n_valid, x, 0)
 
+        Q, T = slot_frame.shape
         res = stage2_impl(kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
                           trans_sbj, trans_q, qlens,
                           take("lo"), take("count"), take("seed_len"),
                           take("frame"), take("begin"), take("shift"),
+                          take("slot"), jnp.zeros(Q * T, jnp.int32),
+                          slot_frame, slot_begin, slot_rem, hits_this_seq0,
                           red_q, red_sbj, subst_fwd, subst_rev)
         res["stats"]["cursors_overflow"] = jnp.maximum(n_valid - C, 0)
 

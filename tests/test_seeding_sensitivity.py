@@ -171,3 +171,131 @@ def test_adaptive_deviation_keeps_true_pairs():
     # and the heuristic actually sheds abundant-seed work
     assert st_on["hits_located"] < st_off["hits_located"], \
         (st_on["hits_located"], st_off["hits_located"])
+
+
+def test_pigeonhole_whole_seed_abundance_cutoff():
+    """delta >= 2 applies the whole-seed abundance cutoff
+    (search_algo.hpp:729) on VERIFIED occurrence counts: a seed slot
+    whose global verified count exceeds heuristic_factor * max_matches
+    drops entirely; every other slot's hits are untouched.  Expected =
+    the Hamming oracle filtered by per-slot counts."""
+    from collections import Counter
+
+    rng = np.random.default_rng(13)
+    A = 10
+    motif = rng.integers(0, A, size=24).astype(np.uint8)
+    subjects = []
+    for i in range(6):
+        s = rng.integers(0, A, size=200).astype(np.uint8)
+        for rep in range(5):            # 30 motif copies across the db
+            p = 30 * rep + 10
+            s[p:p + 24] = motif
+        subjects.append(s)
+    uniq = subjects[0][160:196]         # past the last motif copy
+    qfs = [np.concatenate([motif, uniq])]
+
+    cfg = _base_cfg(max_seed_dist=2, max_matches=2)   # occ_cap = 20
+    hits, _ = _run_seeder(cfg, subjects, qfs)
+    want_all = _oracle_hamming(cfg, subjects, qfs, verify_from=0)
+    per_slot = Counter((g, b) for (g, b, _, _, _) in want_all)
+    want = {h for h in want_all if per_slot[(h[0], h[1])] <= cfg.occ_cap}
+    assert want_all - want, "no slot exceeded the cutoff - fixture broken"
+    assert want, "everything was cut - fixture broken"
+    assert hits == want, (len(hits), len(want), len(want_all))
+
+
+def _oracle_adaptive_pigeonhole(cfg, subjects, qfs, unknown_rank=99):
+    """Reference-semantics oracle of delta>=2 adaptive elongation on
+    whole-seed verified counts: per query, walk slots in schedule order;
+    per slot, extend the seed one exact char at a time while the
+    survivor count stays >= desiredOccs (accept/revert/frozen rules of
+    search_algo.hpp:679-726), then apply the abundance cutoff and
+    accumulate the hitsThisSeq feedback."""
+    k = cfg.seed_length
+    slot_frame, slot_begin, slot_rem, T, _ = seeding.compute_seed_slots(
+        qfs, 1, unknown_rank, cfg)
+    mm, hf, cap, E = (cfg.max_matches, cfg.heuristic_factor,
+                      cfg.occ_cap, cfg.ext_max)
+    hits = set()
+    for q in range(slot_frame.shape[0]):
+        hts = 0
+        for t in range(slot_frame.shape[1]):
+            g = int(slot_frame[q, t])
+            if g < 0:
+                continue
+            b = int(slot_begin[q, t])
+            rem = int(slot_rem[q, t])
+            f = qfs[g]
+            seed = f[b:b + k]
+            occs = []
+            for sf, s in enumerate(subjects):
+                for off in range(len(s) - k + 1):
+                    if int(np.sum(seed != s[off:off + k])) \
+                            <= cfg.max_seed_dist:
+                        occs.append((sf, off))
+
+            def surv(e):
+                n = 0
+                for sf, off in occs:
+                    s = subjects[sf]
+                    ok = True
+                    for e2 in range(e):
+                        qp, sp = b + k + e2, off + k + e2
+                        if qp >= len(f) or sp >= len(s) or f[qp] != s[sp]:
+                            ok = False
+                            break
+                    n += ok
+                return n
+
+            desired = 1 if hts >= mm else max((mm - hts) * hf
+                                              // max(rem, 1), 1)
+            L, gcnt, frozen = 0, surv(0), False
+            for e in range(E):
+                can = (not frozen) and (b + k + e < len(f)) and gcnt > 0
+                c2 = surv(e + 1)
+                revert = c2 < desired and c2 < gcnt
+                if can and not revert:
+                    L, gcnt = L + 1, c2
+                else:
+                    frozen = frozen or not can or (can and revert)
+                    if not can or revert:
+                        frozen = True
+            keep = 0 < gcnt <= cap
+            if keep:
+                hts += gcnt
+                for sf, off in occs:
+                    s = subjects[sf]
+                    ok = all(b + k + e2 < len(f) and off + k + e2 < len(s)
+                             and f[b + k + e2] == s[off + k + e2]
+                             for e2 in range(L))
+                    if ok:
+                        hits.add((g, b, k + L, sf, off))
+    return hits
+
+
+def test_pigeonhole_adaptive_elongation_matches_oracle():
+    """delta>=2 adaptive elongation by verification == the
+    reference-semantics oracle (accept/revert walk on whole-seed
+    survivor counts, desiredOccs/hitsThisSeq feedback in slot order),
+    including the elongated seed lengths."""
+    rng = np.random.default_rng(21)
+    A = 10
+    motif = rng.integers(0, A, size=30).astype(np.uint8)
+    subjects = []
+    for i in range(5):
+        s = rng.integers(0, A, size=220).astype(np.uint8)
+        for rep in range(4):            # 20 motif copies across the db
+            p = 40 * rep + 8
+            s[p:p + 30] = motif
+            s[p + 30] = (3 * i + rep) % A   # divergent char AFTER the
+        subjects.append(s)                  # motif: elongation prunes
+    uniq = subjects[0][170:210]
+    qfs = [np.concatenate([motif, np.array([7], np.uint8), uniq])]
+
+    cfg = _base_cfg(max_seed_dist=2, max_matches=2, adaptive=True)
+    hits, _ = _run_seeder(cfg, subjects, qfs)
+    want = _oracle_adaptive_pigeonhole(cfg, subjects, qfs)
+    assert want, "oracle found nothing - fixture broken"
+    # the fixture must actually exercise elongation (some seed_len > k)
+    assert any(sl > cfg.seed_length for (_, _, sl, _, _) in want), want
+    assert hits == want, (len(hits), len(want))

@@ -351,3 +351,46 @@ def test_cli_q_and_db_shards_matches_unsharded(tmp_path, qs, dbs):
     assert r.returncode == 0, r.stderr
     assert out.read_text() == ref.read_text()
     assert "GYRA_ECOLI" in ref.read_text()
+
+
+def test_cli_db_shards_adaptive_delta2_parity(tmp_path):
+    """Shard-count byte parity for the delta>=2 pigeonhole path with
+    ADAPTIVE SEEDING ON: the stage-2 elongation/abundance decisions run
+    on per-slot verified counts psum'd over the 'db' axis, so every
+    shard must take the single-index decisions (and the scan/fori
+    carries must typecheck under the VMA checker)."""
+    from tests.test_e2e import GYRA, run_cli
+
+    from lambda_tpu.io import fasta
+
+    rng = np.random.default_rng(31)
+    AA = "ARNDCQEGHILKMFPSTWYV"
+    db = tmp_path / "db.fasta"
+    rep = (GYRA[100:140] * 3).encode()
+    fasta.write_fasta(db, [
+        fasta.SeqRecord("GYRA_ECOLI", GYRA.encode()),
+        fasta.SeqRecord("REPEAT1", rep),
+        fasta.SeqRecord("REPEAT2", rep[20:] + rep[:20]),
+        fasta.SeqRecord("RAND", "".join(rng.choice(list(AA), 200)).encode()),
+    ])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+    q = tmp_path / "q.fasta"
+    # ~2 mutations per seed window exercise the pigeonhole verification
+    mut = list(GYRA[95:175])
+    for p in range(3, len(mut), 9):
+        mut[p] = AA[(AA.index(mut[p]) + 1) % len(AA)]
+    fasta.write_fasta(q, [
+        fasta.SeqRecord("q1", "".join(mut).encode()),
+        fasta.SeqRecord("q2", (GYRA[100:140] * 2).encode())])
+    outs = {}
+    for shards in (1, 2, 4):
+        out = tmp_path / f"out{shards}.m8"
+        r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                    "--db-shards", str(shards), "--seed-delta", "2",
+                    "--search0", "OFF", "-v", "0")
+        assert r.returncode == 0, r.stderr
+        outs[shards] = out.read_text()
+    assert outs[1] == outs[2] == outs[4]
+    assert outs[1].strip()
