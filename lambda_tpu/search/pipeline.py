@@ -592,6 +592,7 @@ class SearchContext:
                 subj_end=(hits["s_off"][sel]
                           + hits["seed_len"][sel]).astype(np.int64),
             )
+            stats.add_seed_lens(hits["seed_len"][sel])
         else:
             if n_sel == 0:
                 return {}
@@ -600,6 +601,7 @@ class SearchContext:
                 packed = np.asarray(res2["packed"][:nb])[:n_sel] \
                     .astype(np.int64)
             seed_len = packed[:, 3] & 0xFF
+            stats.add_seed_lens(seed_len)
             m = extend.MatchBatch(
                 qry_id=packed[:, 3] >> 8,
                 subj_id=packed[:, 0],

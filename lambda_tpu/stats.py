@@ -37,11 +37,35 @@ class StatsHolder:
     time_extend: float = 0.0
     time_extend_trace: float = 0.0
     time_write: float = 0.0
+    # micro-stats: located-seed length distribution (the reference's
+    # LAMBDA_MICRO_STATS seedLengths histogram mean/stddev/max,
+    # search_datastructures.hpp:118-130; adaptive elongation makes the
+    # lengths vary)
+    seed_len_n: int = 0
+    seed_len_sum: int = 0
+    seed_len_sumsq: int = 0
+    seed_len_max: int = 0
 
     def __iadd__(self, o: "StatsHolder"):
         for f in dataclasses.fields(self):
-            setattr(self, f.name, getattr(self, f.name) + getattr(o, f.name))
+            if f.name == "seed_len_max":
+                self.seed_len_max = max(self.seed_len_max, o.seed_len_max)
+            else:
+                setattr(self, f.name,
+                        getattr(self, f.name) + getattr(o, f.name))
         return self
+
+    def add_seed_lens(self, sl) -> None:
+        """Accumulate located-seed lengths (any integer array-like)."""
+        import numpy as np
+
+        sl = np.asarray(sl, dtype=np.int64)
+        if sl.size == 0:
+            return
+        self.seed_len_n += int(sl.size)
+        self.seed_len_sum += int(sl.sum())
+        self.seed_len_sumsq += int((sl * sl).sum())
+        self.seed_len_max = max(self.seed_len_max, int(sl.max()))
 
     @contextlib.contextmanager
     def timed(self, bucket: str):
@@ -83,6 +107,12 @@ class StatsHolder:
             if self.cursors_overflow or self.hits_overflow:
                 print(f"   [buffer overflows: cursors={self.cursors_overflow} "
                       f"hits={self.hits_overflow}]")
+            if self.seed_len_n:
+                mean = self.seed_len_sum / self.seed_len_n
+                var = max(self.seed_len_sumsq / self.seed_len_n
+                          - mean * mean, 0.0)
+                print(f"   [seed length: mean {mean:.1f} sd {var ** 0.5:.1f}"
+                      f" max {self.seed_len_max} n {self.seed_len_n}]")
             if rem != self.hits_final:
                 print("WARNING: hits don't add up")
             print("   PHASE TIMES (s)   seed={:.2f} locate={:.2f} merge={:.2f}"
