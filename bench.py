@@ -78,8 +78,11 @@ def main() -> None:
     N, W, BROWS, NC, JB = sw_band._plan(M + DBK, DBK)
     # production-serving batch: ~25k concurrent extensions (~1000
     # queries x 25 windows, ~1 GB image in HBM); large batches amortize
-    # the measured ~0.6-1.3 ms per-dispatch fixed cost
-    B = 16 * BROWS if not on_cpu else BROWS
+    # the measured ~0.6-1.3 ms per-dispatch fixed cost.
+    # LAMBDA_BENCH_BFACT sweeps the batch (2 -> the 3072-alignment
+    # small-batch operating point of VERDICT round-2 task 7).
+    bfact = int(os.environ.get("LAMBDA_BENCH_BFACT", "16"))
+    B = bfact * BROWS if not on_cpu else BROWS
 
     # --- correctness gate 1: banded kernel == exact banded DP
     nchk = 4
