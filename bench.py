@@ -36,6 +36,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 import json
 import os
+import signal
 import time
 
 import numpy as np
@@ -43,6 +44,19 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/lambda_tpu/jax"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# Watchdog: when the axon relay link is down, ANY jax call touching the
+# plugin blocks forever (CLAUDE.md) — fail loudly instead of hanging
+# the driver.  Armed for the whole process incl. the retry; disarmed
+# after the JSON line prints.
+
+
+def _alarm(signum, frame):
+    raise TimeoutError("bench timed out — TPU backend hung (link down?)")
+
+
+signal.signal(signal.SIGALRM, _alarm)
+signal.alarm(int(os.environ.get("LAMBDA_BENCH_TIMEOUT", "1800")))
 
 
 REPS = 20
@@ -177,6 +191,7 @@ def main() -> None:
         "band_cells_gcups": round(band_gcups, 3),
         "shape": {"B": B, "qlen": M, "window": window, "band": D_TRUE},
     }))
+    signal.alarm(0)
 
 
 if __name__ == "__main__":
