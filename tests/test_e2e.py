@@ -448,3 +448,26 @@ def test_long_query_no_cliff(tmp_path):
     # the dominant hit must span (nearly) the whole query
     assert int(best[3]) > 19000, best
     assert float(best[2]) > 98.0, best
+
+
+def test_edge_inputs_empty_tiny_alln(protein_db, tmp_path):
+    """Degenerate query inputs: an empty query file gets the friendly
+    typed error (the reference's QueryException path); a query shorter
+    than the seed and an all-X query (every seed start masked) run
+    cleanly and produce empty, well-formed outputs."""
+    q = tmp_path / "empty.fasta"
+    q.write_text("")
+    r = run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                "-o", str(tmp_path / "empty.m8"), "-v", "0")
+    assert r.returncode != 0
+    assert "query" in r.stderr.lower() and "empty" in r.stderr.lower()
+
+    for name, content in {"tiny": ">t\nMK\n",
+                          "allx": ">x\n" + "X" * 40 + "\n"}.items():
+        q = tmp_path / f"{name}.fasta"
+        q.write_text(content)
+        out = tmp_path / f"{name}.m8"
+        r = run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                    "-o", str(out), "-v", "0")
+        assert r.returncode == 0, (name, r.stderr)
+        assert out.read_text() == "", name

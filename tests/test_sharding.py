@@ -394,3 +394,34 @@ def test_cli_db_shards_adaptive_delta2_parity(tmp_path):
         outs[shards] = out.read_text()
     assert outs[1] == outs[2] == outs[4]
     assert outs[1].strip()
+
+
+def test_cli_lazy_query_with_db_shards(tmp_path):
+    """--lazy-query (async producer streaming) composed with --db-shards
+    must byte-match the eager unsharded run (the two mechanisms are
+    orthogonal by construction; this pins the composition)."""
+    from tests.test_e2e import GYRA, run_cli
+
+    from lambda_tpu.io import fasta
+
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [
+        fasta.SeqRecord("GYRA_ECOLI", GYRA.encode()),
+        fasta.SeqRecord("G2", GYRA[40:200].encode())])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [
+        fasta.SeqRecord(f"q{i}", GYRA[i * 30:i * 30 + 70].encode())
+        for i in range(4)])
+    ref = tmp_path / "ref.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(ref),
+                "-v", "0")
+    assert r.returncode == 0, r.stderr
+    out = tmp_path / "lazy_sh.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "--lazy-query", "--db-shards", "2", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == ref.read_text()
+    assert ref.read_text().strip()
