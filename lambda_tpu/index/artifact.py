@@ -54,6 +54,14 @@ class SubsetList:
                 f"subject {i} is not loaded on this host "
                 "(--shard-subset)") from None
 
+    def __iter__(self):
+        # sequence iteration would resolve EVERY subject; a partial
+        # load cannot satisfy that — fail with the real reason instead
+        # of a confusing KeyError on the first unloaded id
+        raise TypeError(
+            "cannot iterate a partially loaded index "
+            "(--shard-subset): operation needs the full payload")
+
 
 @dataclasses.dataclass
 class IndexData:

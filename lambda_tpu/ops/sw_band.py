@@ -887,6 +887,13 @@ def sw_band_score_device(q, s, d_rows, subst_ext8, D: int,
     Np, W, BROWS, NC, JB = _plan(N, D)
     assert Np == N, (N, Np)
     n_tiles = B // BROWS
+    if _XDROP and _LAYOUT != "lane":
+        # the sublane A/B kernel has no X-drop implementation; running
+        # it would silently produce exact-DP scores where the lane
+        # layout produces X-drop scores (backend-determinism violation)
+        raise NotImplementedError(
+            "LAMBDA_SW_XDROP requires the default lane layout "
+            "(LAMBDA_SWB_LAYOUT=sublane does not implement X-drop)")
     if _LAYOUT == "lane":
         Ws, P, LW, BT = _lane_geometry(D)
         subb = _band_image_lane(q, s, d_rows, subst_ext8, n_tiles, BT, P,

@@ -447,16 +447,29 @@ def _fuse_dispatch_groups(group_keys: dict) -> list:
     fragment into many small dispatches that each pay the fixed kernel
     dispatch cost (and, on remote-attached links, the host dispatch
     latency).  Greedily merge class pairs while the modeled total cost
-    decreases.  Purely a performance decision: padding provably cannot
-    change scores (PAD scores -128 against everything; asserted by the
-    backend/batch invariance tests).
+    decreases.  With X-drop off, padding provably cannot change scores
+    (PAD scores -128 against everything; asserted by the backend/batch
+    invariance tests).
+
+    Gating: fusion applies only on the Pallas banded path (the cost
+    model is the measured lane-kernel one; the XLA fallback pays
+    O(qbk*(qbk+dbk)) rectangles where merged padding would inflate
+    work) and only with X-drop OFF (merging changes the kernel's column
+    chunk size NC, and the X-drop check is chunk-granular — fusing
+    would make opt-in X-drop scores depend on batch composition).
+    LAMBDA_SWB_FUSE: 0 = off, 1/auto = as described, force = always
+    (tests exercise the planner on the CPU backends with it).
 
     Returns [((qbk, dbk, rev), idx_array), ...] deterministically
     ordered."""
     from ..ops import sw_band
 
     groups = {k: list(v) for k, v in group_keys.items()}
-    if os.environ.get("LAMBDA_SWB_FUSE", "1") == "0" or len(groups) <= 1:
+    mode = os.environ.get("LAMBDA_SWB_FUSE", "1")
+    fusable = (mode == "force"
+               or (mode != "0" and _use_pallas()
+                   and not int(os.environ.get("LAMBDA_SW_XDROP", "0"))))
+    if not fusable or len(groups) <= 1:
         return [(k, np.asarray(sorted(v)))
                 for k, v in sorted(groups.items())]
     fixed, cell = _fuse_params()

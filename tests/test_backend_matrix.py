@@ -75,7 +75,9 @@ def test_dispatch_fusion_byte_parity(workdir):
     dispatches (extend._fuse_dispatch_groups) must not change output bytes:
     PAD ranks score -128 against everything, so extra padding is inert."""
     base = {"LAMBDA_SW_KERNEL": "xla", "LAMBDA_NO_NATIVE": "1"}
-    fused = _search(workdir, "fuse_on", {**base, "LAMBDA_SWB_FUSE": "1",
+    # 'force' overrides the pallas-only gate so the CPU test exercises
+    # the fused grouping (in production fusion runs on the pallas path)
+    fused = _search(workdir, "fuse_on", {**base, "LAMBDA_SWB_FUSE": "force",
                                          "LAMBDA_SWB_FUSE_FIXED_US": "1e9"})
     unfused = _search(workdir, "fuse_off", {**base, "LAMBDA_SWB_FUSE": "0"})
     assert fused == unfused
@@ -94,10 +96,12 @@ def test_fuse_planner_merges_and_preserves_indices():
               (256, 32, False): [6]}
     import os
     os.environ["LAMBDA_SWB_FUSE_FIXED_US"] = "1e9"   # force full merge
+    os.environ["LAMBDA_SWB_FUSE"] = "force"          # CPU host: no pallas
     try:
         fused = _fuse_dispatch_groups(groups)
     finally:
         del os.environ["LAMBDA_SWB_FUSE_FIXED_US"]
+        del os.environ["LAMBDA_SWB_FUSE"]
     all_idx = sorted(int(i) for _, v in fused for i in v)
     assert all_idx == list(range(7))
     # rev=True can never merge with rev=False (different matrices)
@@ -106,3 +110,24 @@ def test_fuse_planner_merges_and_preserves_indices():
     # with an enormous fixed cost, all three fwd classes collapse to one
     fwd_groups = [k for k, _ in fused if not k[2]]
     assert fwd_groups == [(256, 32, False)]
+
+
+def test_fuse_planner_gating(monkeypatch):
+    """Fusion only applies on the pallas path with X-drop OFF: the
+    X-drop check is chunk-granular, so merged shape classes would make
+    opt-in X-drop scores depend on batch composition; the XLA fallback
+    pays rectangle costs the band cost model does not describe."""
+    from lambda_tpu.search import extend
+
+    groups = {(64, 16, False): [0], (128, 16, False): [1]}
+    monkeypatch.setenv("LAMBDA_SWB_FUSE_FIXED_US", "1e9")
+
+    monkeypatch.setattr(extend, "_use_pallas", lambda: True)
+    assert len(extend._fuse_dispatch_groups(groups)) == 1  # fuses
+
+    monkeypatch.setenv("LAMBDA_SW_XDROP", "16")
+    assert len(extend._fuse_dispatch_groups(groups)) == 2  # xdrop: off
+    monkeypatch.delenv("LAMBDA_SW_XDROP")
+
+    monkeypatch.setattr(extend, "_use_pallas", lambda: False)
+    assert len(extend._fuse_dispatch_groups(groups)) == 2  # no pallas

@@ -127,6 +127,13 @@ def test_partial_shard_load(db_and_query):
         part.kmer_shards[0].num_positions
     with pytest.raises(RuntimeError):
         part.get_kmer()
+    # saving / JSON-dumping need every subject's payload; a partial
+    # load must fail with the real reason, not a KeyError on the first
+    # unloaded id deep inside the writer
+    with pytest.raises(TypeError, match="partially loaded"):
+        artifact.save_index(part, str(d / "never.lit"))
+    with pytest.raises(TypeError, match="partially loaded"):
+        artifact.dump_json(part, str(d / "never.json"))
     # merged equals a from-scratch unsharded build
     lit1 = d / "db_s1.lit"
     if lit1.exists():
