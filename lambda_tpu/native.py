@@ -163,19 +163,12 @@ def _marshal_sw_batch(q_list, s_list, subst, subst_rev, use_rev):
     return q, s, qlen, slen, sub, sub_rev, urev
 
 
-def sw_traceback_batch(q_list, s_list, subst: np.ndarray,
-                       gap_first: int, gap_extend: int,
-                       subst_rev: np.ndarray | None = None,
-                       use_rev: np.ndarray | None = None,
-                       band: np.ndarray | None = None):
-    """Batched local SW with traceback on the host.
-
-    q_list/s_list: sequences (1-D int arrays of ranks).  band: optional
-    per-row diagonal band sizes (ops/sw_band.py semantics; None = full
-    rectangle).  Returns (scores, traces) where traces[i] =
-    (q0, s0, [(op, run), ...]) in the conventions of
-    ops/sw_xla.traceback, or None for score-0 alignments.
-    """
+def _sw_traceback_call(q_list, s_list, subst, gap_first, gap_extend,
+                       subst_rev, use_rev, band, bs_mode):
+    """Shared marshaling + call + trace decoding for the two traceback
+    entry points.  ``bs_mode=None`` calls sw_traceback_batch; otherwise
+    sw_traceback_stats_batch with a (B, 8) stats output.  Returns
+    (scores, traces, q0, s0, stats-or-None)."""
     lib = get_lib()
     assert lib is not None
     B = len(q_list)
@@ -198,7 +191,7 @@ def sw_traceback_batch(q_list, s_list, subst: np.ndarray,
     ops = np.zeros((B, ops_stride), dtype=np.uint8)
     ops_len = np.zeros(B, dtype=np.int32)
 
-    lib.sw_traceback_batch(
+    args = [
         _ptr(q, i32p), qs, _ptr(qlen, i32p),
         _ptr(s, i32p), ss, _ptr(slen, i32p),
         B, _ptr(sub, i32p), alph,
@@ -206,9 +199,19 @@ def sw_traceback_batch(q_list, s_list, subst: np.ndarray,
         _ptr(urev, u8p) if urev is not None else None,
         _ptr(band, i32p) if band is not None else None,
         int(gap_first), int(gap_extend),
+    ]
+    outs = [
         _ptr(score, i32p), _ptr(q0, i32p), _ptr(s0, i32p),
         _ptr(qe, i32p), _ptr(se, i32p),
-        _ptr(ops, u8p), ops_stride, _ptr(ops_len, i32p))
+        _ptr(ops, u8p), ops_stride, _ptr(ops_len, i32p),
+    ]
+    if bs_mode is None:
+        stats = None
+        lib.sw_traceback_batch(*args, *outs)
+    else:
+        stats = np.zeros((B, 8), dtype=np.int32)
+        lib.sw_traceback_stats_batch(*args, int(bool(bs_mode)), *outs,
+                                     _ptr(stats, i32p))
 
     traces = []
     for b in range(B):
@@ -217,7 +220,26 @@ def sw_traceback_batch(q_list, s_list, subst: np.ndarray,
             continue
         traces.append((int(q0[b]), int(s0[b]),
                        rle_ops(ops[b, :ops_len[b]])))
-    return score.astype(np.int64), traces
+    return score.astype(np.int64), traces, q0, s0, stats
+
+
+def sw_traceback_batch(q_list, s_list, subst: np.ndarray,
+                       gap_first: int, gap_extend: int,
+                       subst_rev: np.ndarray | None = None,
+                       use_rev: np.ndarray | None = None,
+                       band: np.ndarray | None = None):
+    """Batched local SW with traceback on the host.
+
+    q_list/s_list: sequences (1-D int arrays of ranks).  band: optional
+    per-row diagonal band sizes (ops/sw_band.py semantics; None = full
+    rectangle).  Returns (scores, traces) where traces[i] =
+    (q0, s0, [(op, run), ...]) in the conventions of
+    ops/sw_xla.traceback, or None for score-0 alignments.
+    """
+    score, traces, _, _, _ = _sw_traceback_call(
+        q_list, s_list, subst, gap_first, gap_extend,
+        subst_rev, use_rev, band, bs_mode=None)
+    return score, traces
 
 
 def rle_ops(raw: np.ndarray) -> list[tuple[str, int]]:
@@ -243,50 +265,9 @@ def sw_traceback_stats_batch(q_list, s_list, subst: np.ndarray,
     array [align_length, matches, mismatches, positives, gap_opens, gaps,
     insertions, deletions] per match (records.compute_alignment_stats
     semantics) and traces follows sw_traceback_batch conventions."""
-    lib = get_lib()
-    assert lib is not None
-    B = len(q_list)
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    q, s, qlen, slen, sub, sub_rev, urev = _marshal_sw_batch(
-        q_list, s_list, subst, subst_rev, use_rev)
-    band = (np.ascontiguousarray(band, dtype=np.int32)
-            if band is not None else None)
-    qs = q.shape[1]
-    ss_ = s.shape[1]
-    alph = sub.shape[0]
-
-    score = np.zeros(B, dtype=np.int32)
-    q0 = np.zeros(B, dtype=np.int32)
-    s0 = np.zeros(B, dtype=np.int32)
-    qe = np.zeros(B, dtype=np.int32)
-    se = np.zeros(B, dtype=np.int32)
-    ops_stride = qs + ss_ + 2
-    ops = np.zeros((B, ops_stride), dtype=np.uint8)
-    ops_len = np.zeros(B, dtype=np.int32)
-    stats = np.zeros((B, 8), dtype=np.int32)
-
-    lib.sw_traceback_stats_batch(
-        _ptr(q, i32p), qs, _ptr(qlen, i32p),
-        _ptr(s, i32p), ss_, _ptr(slen, i32p),
-        B, _ptr(sub, i32p), alph,
-        _ptr(sub_rev, i32p) if sub_rev is not None else None,
-        _ptr(urev, u8p) if urev is not None else None,
-        _ptr(band, i32p) if band is not None else None,
-        int(gap_first), int(gap_extend), int(bool(bs_mode)),
-        _ptr(score, i32p), _ptr(q0, i32p), _ptr(s0, i32p),
-        _ptr(qe, i32p), _ptr(se, i32p),
-        _ptr(ops, u8p), ops_stride, _ptr(ops_len, i32p),
-        _ptr(stats, i32p))
-
-    traces = []
-    for b in range(B):
-        if score[b] <= 0:
-            traces.append(None)
-            continue
-        traces.append((int(q0[b]), int(s0[b]),
-                       rle_ops(ops[b, :ops_len[b]])))
-    return score.astype(np.int64), traces, q0, s0, stats
+    return _sw_traceback_call(q_list, s_list, subst, gap_first, gap_extend,
+                              subst_rev, use_rev, band,
+                              bs_mode=bool(bs_mode))
 
 
 def gzip_compress(data: bytes, level: int = 6,

@@ -226,25 +226,13 @@ def trace_pass(m: MatchBatch, q_frames, s_window, subst_ext_fwd,
                                bs_split, with_trace=True)
         return sc, tr, None
 
-    n = len(m)
-    if n == 0:
+    if len(m) == 0:
         return (np.zeros(0, np.int64), [],
                 np.zeros((0, 8), np.int32))
-    pad = subst_ext_fwd.shape[0] - 1
-    qlen, d_row, wlen = _ext_geometry(m)
-    q_list = [q_frames[m.qry_id[i]][m.qry_start[i]:m.qry_end[i]]
-              for i in range(n)]
-    s_list = [s_window.window_virtual(int(m.subj_id[i]), int(m.d_lo[i]),
-                                      int(wlen[i]), pad)
-              for i in range(n)]
-    rev = (np.asarray(m.subj_id) % 2 == 1).astype(np.uint8) \
-        if bs_split else None
+    args, kw = _host_sw_args(m, q_frames, s_window, subst_ext_fwd,
+                             subst_ext_rev, gap_first, gap_extend, bs_split)
     sc, tr, _, _, stats = native.sw_traceback_stats_batch(
-        q_list, s_list, np.asarray(subst_ext_fwd, dtype=np.int32),
-        gap_first, gap_extend,
-        subst_rev=(np.asarray(subst_ext_rev, dtype=np.int32)
-                   if bs_split else None),
-        use_rev=rev, band=d_row.astype(np.int32), bs_mode=bs_split)
+        *args, **kw, bs_mode=bs_split)
     return sc, tr, stats
 
 
@@ -273,6 +261,30 @@ class SubjectWindows:
         if hi > lo:
             out[lo - start : hi - start] = self.concat[o + lo : o + hi]
         return out
+
+
+def _host_sw_args(m: MatchBatch, q_frames, s_window, subst_ext_fwd,
+                  subst_ext_rev, gap_first, gap_extend, bs_split: bool):
+    """Ragged inputs for the native host SW entry points (one contract
+    shared by the score, traceback and traceback+stats paths): per-match
+    query/virtual-subject rank lists, matrices, per-row band, bisulfite
+    matrix-selection flags."""
+    n = len(m)
+    pad = subst_ext_fwd.shape[0] - 1
+    _, d_row, wlen = _ext_geometry(m)
+    q_list = [q_frames[m.qry_id[i]][m.qry_start[i]:m.qry_end[i]]
+              for i in range(n)]
+    s_list = [s_window.window_virtual(int(m.subj_id[i]), int(m.d_lo[i]),
+                                      int(wlen[i]), pad)
+              for i in range(n)]
+    rev = (np.asarray(m.subj_id) % 2 == 1).astype(np.uint8) \
+        if bs_split else None
+    args = (q_list, s_list, np.asarray(subst_ext_fwd, dtype=np.int32),
+            gap_first, gap_extend)
+    kw = dict(subst_rev=(np.asarray(subst_ext_rev, dtype=np.int32)
+                         if bs_split else None),
+              use_rev=rev, band=d_row.astype(np.int32))
+    return args, kw
 
 
 def _ext_geometry(m: MatchBatch):
@@ -311,15 +323,9 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
         # host path (OpenMP C++, banded, ragged): the traceback pass
         # (search_algo.hpp:1296 equivalent) or the score pass on CPU
         # backends.  Identical banded semantics to the device kernels.
-        q_list = [q_of(i) for i in range(n)]
-        s_list = [s_of(i) for i in range(n)]
-        rev = (np.asarray(m.subj_id) % 2 == 1).astype(np.uint8) \
-            if bs_split else None
-        args = (q_list, s_list, np.asarray(subst_ext_fwd, dtype=np.int32),
-                gap_first, gap_extend)
-        kw = dict(subst_rev=(np.asarray(subst_ext_rev, dtype=np.int32)
-                             if bs_split else None),
-                  use_rev=rev, band=d_row.astype(np.int32))
+        args, kw = _host_sw_args(m, q_frames, s_window, subst_ext_fwd,
+                                 subst_ext_rev, gap_first, gap_extend,
+                                 bs_split)
         if with_trace:
             return native.sw_traceback_batch(*args, **kw)
         return native.sw_score_batch(*args, **kw), traces

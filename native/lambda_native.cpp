@@ -269,23 +269,21 @@ void sw_traceback_stats_batch(
     int32_t* qe_out, int32_t* se_out,
     uint8_t* ops_out, int32_t ops_stride, int32_t* ops_len_out,
     int32_t* stats_out) {
+    // the DP + traceback IS sw_traceback_batch — one implementation of
+    // the alignment contract; this entry point only adds the stats walk
+    sw_traceback_batch(q, q_stride, qlen, s, s_stride, slen, B,
+                       subst, alph, subst_rev, use_rev, band,
+                       gap_first, gap_extend,
+                       score_out, q0_out, s0_out, qe_out, se_out,
+                       ops_out, ops_stride, ops_len_out);
 #pragma omp parallel for schedule(dynamic, 1)
     for (int32_t b = 0; b < B; ++b) {
         const int32_t* mat =
             (subst_rev && use_rev && use_rev[b]) ? subst_rev : subst;
-        uint8_t* ops = ops_out + (int64_t)b * ops_stride;
-        int32_t n = 0;
-        score_out[b] = sw_one(q + (int64_t)b * q_stride, qlen[b],
-                              s + (int64_t)b * s_stride, slen[b],
-                              band ? band[b] : -1,
-                              mat, alph, gap_first, gap_extend,
-                              &q0_out[b], &s0_out[b], &qe_out[b], &se_out[b],
-                              ops, ops_stride, &n);
-        if (n > ops_stride) n = ops_stride;
-        std::reverse(ops, ops + n);
-        ops_len_out[b] = n;
+        const uint8_t* ops = ops_out + (int64_t)b * ops_stride;
+        const int32_t n = ops_len_out[b];
 
-        // inline stats over the walked path (records.py semantics)
+        // stats over the walked path (records.py semantics)
         const int32_t* qr = q + (int64_t)b * q_stride;
         const int32_t* sr = s + (int64_t)b * s_stride;
         int32_t i = q0_out[b], j = s0_out[b];
