@@ -84,6 +84,18 @@ def main() -> None:
     np.fill_diagonal(subst, 5)
     e8 = sw_pallas.extend_matrix8(subst)
 
+    # X-drop bench variant (LAMBDA_SW_XDROP=X): the kernel module reads
+    # the env at import; the gates must then pin the CHUNK-GRANULAR
+    # X-drop semantics instead of the exact banded/full DP
+    xd = sw_band._XDROP
+
+    def band_want(qrow, srow, d, ns, batch_d):
+        if xd:
+            return sw_band.sw_band_xdrop_reference(
+                qrow, srow, d, subst, -12, -1, x_drop=xd,
+                nc=sw_band._plan(ns, batch_d)[3])
+        return sw_band.sw_band_reference(qrow, srow, d, subst, -12, -1)
+
     # flagship extension shape: 256aa query, the pipeline's sqrt-band
     # (2*(sqrt(256)+1) = 34 -> bucket 39), window = qlen + D
     M, D_TRUE, DBK = 256, 34, 39
@@ -105,8 +117,8 @@ def main() -> None:
     cd = np.array([12, 7, 3, 12], dtype=np.int32)
     got = sw_band.sw_band_score_pallas(cq, cs, cd, e8, -12, -1,
                                        interpret=on_cpu)
-    want = [sw_band.sw_band_reference(cq[b], cs[b], int(cd[b]), subst,
-                                      -12, -1) for b in range(nchk)]
+    want = [band_want(cq[b], cs[b], int(cd[b]), cs.shape[1], int(cd.max()))
+            for b in range(nchk)]
     assert list(got) == want, f"banded gate failed: {list(got)} vs {want}"
 
     # --- correctness gate 1b: narrow-band rows batched with wide-band
@@ -123,8 +135,8 @@ def main() -> None:
     gd = np.array([4, 12], dtype=np.int32)      # row 0 narrow, row 1 wide
     gotg = sw_band.sw_band_score_pallas(gq, gs, gd, e8, -12, -1,
                                         interpret=on_cpu)
-    wantg = [sw_band.sw_band_reference(gq[b], gs[b], int(gd[b]), subst,
-                                       -12, -1) for b in range(2)]
+    wantg = [band_want(gq[b], gs[b], int(gd[b]), gs.shape[1], int(gd.max()))
+             for b in range(2)]
     assert list(gotg) == wantg, \
         f"band-corridor gate failed: {list(gotg)} vs {wantg}"
 
@@ -139,8 +151,14 @@ def main() -> None:
     got2 = sw_band.sw_band_score_pallas(
         dq2, ds2, np.full(nchk, 12, np.int32), e8, -12, -1,
         interpret=on_cpu)
-    want2 = [sw_xla.sw_reference(dq2[b], ds2[b], subst, -12, -1)
-             for b in range(nchk)]
+    if xd:
+        # the near-diagonal == full-DP property only holds without the
+        # early exit; pin the chunk-granular semantics instead
+        want2 = [band_want(dq2[b], ds2[b], 12, ds2.shape[1], 12)
+                 for b in range(nchk)]
+    else:
+        want2 = [sw_xla.sw_reference(dq2[b], ds2[b], subst, -12, -1)
+                 for b in range(nchk)]
     assert list(got2) == want2, \
         f"full-DP gate failed: {list(got2)} vs {want2}"
 
@@ -190,6 +208,7 @@ def main() -> None:
         "vs_baseline": round(rect_gcups / target_gcups, 4),
         "band_cells_gcups": round(band_gcups, 3),
         "shape": {"B": B, "qlen": M, "window": window, "band": D_TRUE},
+        **({"x_drop": xd} if xd else {}),
     }))
     signal.alarm(0)
 

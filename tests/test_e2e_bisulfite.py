@@ -47,8 +47,10 @@ def test_bisulfite_converted_reads(bs_db, tmp_path):
     assert "r_rev" in by_q, by_q
     assert by_q["r_rev"][2] == "100.00"
     assert by_q["r_rev"][8:10] == ["201", "280"]
-    # minus-strand query: qstart > qend
-    assert int(by_q["r_rev"][6]) > int(by_q["r_rev"][7])
+    # minus-strand query: the full-length 80nt read mirrors to
+    # qstart = L - 0 = 80, qend = L - 79 = 1 (hand-computed anchor,
+    # same L-r arithmetic as the blastx/tblastx minus frames)
+    assert by_q["r_rev"][6:8] == ["80", "1"]
 
 
 def test_bisulfite_unconverted_still_hits(bs_db, tmp_path):
