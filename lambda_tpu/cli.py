@@ -217,8 +217,10 @@ def search_main(sub: str, argv: list[str]) -> int:
     p.add_argument("--lazy-query", action="store_true")
     p.add_argument("-a", "--input-alphabet", default="auto",
                    choices=("auto", "dna5", "aminoacid"))
-    p.add_argument("--query-batch", type=int, default=64,
-                   help="device query batch size (TPU-specific)")
+    p.add_argument("--query-batch", type=int, default=None,
+                   help="device query batch size (TPU-specific; default "
+                        f"{opt_mod.LambdaOptions.query_batch_size} — the "
+                        "kernel's measured operating point)")
     args = p.parse_args(argv)
 
     _set_omp_threads(args.threads)
@@ -274,7 +276,8 @@ def search_main(sub: str, argv: list[str]) -> int:
     opt.merge_annotations = args.merge_annotations == "1"
     opt.distributed = args.distributed
     opt.qry_orig_alphabet = args.input_alphabet
-    opt.query_batch_size = args.query_batch
+    if args.query_batch is not None:
+        opt.query_batch_size = args.query_batch
 
     # taxonomy requirements implied by columns/tags
     # (search_options.hpp:744-760, 812-820)

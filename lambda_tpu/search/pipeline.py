@@ -42,6 +42,31 @@ from ..stats import StatsHolder
 from . import extend, records, seeding
 
 
+import dataclasses
+
+
+@dataclasses.dataclass
+class _SeedDispatch:
+    """In-flight seeding dispatch (phase A of process_batch): the host
+    inputs needed for a budget-doubling re-dispatch plus the async
+    device handles collect_batch pulls."""
+
+    so: opt_mod.SearchOpts
+    qry_seqs: list          # padded to the bucketed count Q
+    Q: int
+    trans: list             # translated query frames
+    qlens: np.ndarray       # per-frame lengths (host copy)
+    slot_frame: np.ndarray
+    slot_begin: np.ndarray
+    slot_rem: np.ndarray
+    d_red_q: object
+    d_trans_q: object
+    d_qlens: object
+    scale: int = 1          # cursor/hit budget multiplier (retry doubles)
+    res2: dict | None = None   # unsharded fused outputs (device arrays)
+    outs: object = None        # sharded step outputs (device arrays)
+
+
 class SearchContext:
     """Everything that is fixed for a whole run."""
 
@@ -291,27 +316,17 @@ class SearchContext:
             self._d_red_sbj = jnp.asarray(self._reduced_concat())
         return self._d_red_sbj
 
-    def _sharded_hits(self, so, d_red_q, d_trans_q, d_qlens, slot_frame,
-                      slot_begin, slot_rem, Q, stats, scale=1):
-        """Seed/locate/prescore over the 'db'-sharded index; combine the
-        per-shard hit arrays on the host with global frame ids."""
-        step = self.sharded_step_for(so, scale)
-        with stats.timed("time_seed"):
-            outs = step(self.d_sh["keys"], self.d_sh["pos"],
-                        self.d_sh["frame"],
-                        self.d_sh["offsets"], self.d_sh["lengths"],
-                        self.d_sh["trans"], self.d_sh["red"],
-                        d_red_q, d_qlens, jnp.asarray(slot_frame),
-                        jnp.asarray(slot_begin), jnp.asarray(slot_rem),
-                        jnp.zeros(Q, jnp.int32), d_trans_q,
-                        self.d_sub_fwd, self.d_sub_rev)
+    def _sharded_collect(self, sd: "_SeedDispatch", stats):
+        """Pull the 'db'-sharded seeding outputs dispatched by
+        _seed_device_call; combine the per-shard hit arrays on the host
+        with global frame ids."""
         with stats.timed("time_locate"):
             (q_frame, q_begin, seed_len, s_frame, s_off, valid, passed,
              located, overflow, failed_pre, cur_over) = \
-                [np.asarray(o) for o in outs]
+                [np.asarray(o) for o in sd.outs]
         # outputs carry (q, db) leading axes; translate local ids to global
         Dq = q_frame.shape[0]
-        G = int(d_red_q.shape[0])
+        G = int(sd.d_red_q.shape[0])
         q_base = (np.arange(Dq, dtype=np.int64) * (G // Dq))[:, None, None]
         q_frame = q_frame + q_base
         s_frame = s_frame + self.shard_base[None, :, None]
@@ -488,8 +503,21 @@ class SearchContext:
                       stats: StatsHolder):
         """Run seeding+extension for a batch of ORIGINAL queries with the
         given phase options.  Returns dict: local query idx -> [BlastMatch]."""
+        return self.collect_batch(
+            self.dispatch_seeding(qry_seqs, so, stats), stats)
+
+    def dispatch_seeding(self, qry_seqs: list[np.ndarray],
+                         so: opt_mod.SearchOpts, stats: StatsHolder):
+        """Phase A of process_batch: build the query frames/seed slots
+        and ENQUEUE the fused seeding dispatch WITHOUT pulling results.
+
+        jax dispatches are asynchronous, so a caller that dispatches the
+        NEXT batch's seeding before collecting the current batch lets the
+        device compute under the current batch's hit transfer + host tail
+        — on remote-attached links the packed-hit D2H dominates e2e
+        (README bench notes), and on direct-attached hardware it still
+        hides the host tail.  Returns the handle collect_batch takes."""
         idx, opt = self.idx, self.opt
-        F = self.qry_num_frames
         # cfg for the seed schedule (budget-independent)
         cfg, _ = self.seeder_for(so)
 
@@ -505,7 +533,8 @@ class SearchContext:
         G = len(trans)
 
         slot_frame, slot_begin, slot_rem, T, sched_st = \
-            seeding.compute_seed_slots(trans, F, self.unknown_rank, cfg)
+            seeding.compute_seed_slots(trans, self.qry_num_frames,
+                                       self.unknown_rank, cfg)
         stats.hits_masked += sched_st[0]
         stats.hits_too_short += sched_st[1]
         # bucket the slot count as well
@@ -527,36 +556,65 @@ class SearchContext:
             qlens[g] = len(tf)
             trans_q[g, : len(tf)] = tf
             red_q[g, : len(rf)] = rf
-        d_red_q = jnp.asarray(red_q)
-        d_trans_q = jnp.asarray(trans_q)
-        d_qlens = jnp.asarray(qlens)
 
+        sd = _SeedDispatch(
+            so=so, qry_seqs=qry_seqs, Q=Q, trans=trans, qlens=qlens,
+            slot_frame=slot_frame, slot_begin=slot_begin, slot_rem=slot_rem,
+            d_red_q=jnp.asarray(red_q), d_trans_q=jnp.asarray(trans_q),
+            d_qlens=jnp.asarray(qlens))
+        self._seed_device_call(sd, stats)
+        return sd
+
+    def _seed_device_call(self, sd: "_SeedDispatch", stats: StatsHolder):
+        """Enqueue the fused seeding dispatch for ``sd`` at its current
+        budget scale (async: nothing is pulled here)."""
+        so = sd.so
+        if self.mesh is not None:
+            step = self.sharded_step_for(so, sd.scale)
+            with stats.timed("time_seed"):
+                sd.outs = step(
+                    self.d_sh["keys"], self.d_sh["pos"], self.d_sh["frame"],
+                    self.d_sh["offsets"], self.d_sh["lengths"],
+                    self.d_sh["trans"], self.d_sh["red"],
+                    sd.d_red_q, sd.d_qlens, jnp.asarray(sd.slot_frame),
+                    jnp.asarray(sd.slot_begin), jnp.asarray(sd.slot_rem),
+                    jnp.zeros(sd.Q, jnp.int32), sd.d_trans_q,
+                    self.d_sub_fwd, self.d_sub_rev)
+            return
         pigeon = so.max_seed_dist >= 2
+        d_red_sbj = self.d_red_sbj if pigeon else jnp.zeros(1, jnp.int8)
+        cfg, (stage1, stage2, fused) = self.seeder_for(so, sd.scale)
+        with stats.timed("time_seed"):
+            sd.res2 = fused(self.d_keys, sd.d_red_q, sd.d_qlens,
+                            jnp.asarray(sd.slot_frame),
+                            jnp.asarray(sd.slot_begin),
+                            jnp.asarray(sd.slot_rem),
+                            jnp.zeros(sd.Q, jnp.int32),
+                            self.d_pos, self.d_frame,
+                            self.d_sbj_offsets,
+                            self.d_sbj_lens, self.d_trans_sbj, sd.d_trans_q,
+                            d_red_sbj, self.d_sub_fwd, self.d_sub_rev)
+
+    def collect_batch(self, sd: "_SeedDispatch", stats: StatsHolder):
+        """Phase B of process_batch: pull the seeding results (retrying
+        with doubled budgets on overflow), then extension + the host
+        tail.  Returns dict: local query idx -> [BlastMatch]."""
+        idx, opt = self.idx, self.opt
+        F = self.qry_num_frames
+        so = sd.so
+        qry_seqs, Q, trans, qlens = sd.qry_seqs, sd.Q, sd.trans, sd.qlens
+        d_trans_q = sd.d_trans_q
+
         # single fused dispatch: seed scan -> device cursor compaction ->
         # locate/verify/prescore; only the hit arrays come back.  If the
         # fixed cursor/hit budgets overflow (the reference has no budgets,
         # it just allocates), retry with doubled budgets up to 8x before
         # accepting truncation.
-        scale = 1
         while True:
             if self.mesh is not None:
-                hits, st2 = self._sharded_hits(
-                    so, d_red_q, d_trans_q, d_qlens, slot_frame, slot_begin,
-                    slot_rem, Q, stats, scale)
+                hits, st2 = self._sharded_collect(sd, stats)
             else:
-                d_red_sbj = self.d_red_sbj if pigeon \
-                    else jnp.zeros(1, jnp.int8)
-                cfg, (stage1, stage2, fused) = self.seeder_for(so, scale)
-                with stats.timed("time_seed"):
-                    res2 = fused(self.d_keys, d_red_q, d_qlens,
-                                 jnp.asarray(slot_frame),
-                                 jnp.asarray(slot_begin),
-                                 jnp.asarray(slot_rem),
-                                 jnp.zeros(Q, jnp.int32),
-                                 self.d_pos, self.d_frame,
-                                 self.d_sbj_offsets,
-                                 self.d_sbj_lens, self.d_trans_sbj, d_trans_q,
-                                 d_red_sbj, self.d_sub_fwd, self.d_sub_rev)
+                res2 = sd.res2
                 # ONE small stats transfer decides the retry; the hit
                 # payload moves D2H only after the budgets are accepted,
                 # as a device-compacted bucketed slice of the 16-byte
@@ -569,8 +627,9 @@ class SearchContext:
                 n_sel = int(sv[4])
                 hits = None
             if (st2["hits_overflow"] or st2["cursors_overflow"]) \
-                    and scale < 8:
-                scale *= 2
+                    and sd.scale < 8:
+                sd.scale *= 2
+                self._seed_device_call(sd, stats)
                 continue
             break
         stats.hits_after_seeding += st2["hits_located"]
@@ -900,19 +959,30 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
     done = 0
 
     # query stream in batches
-    batch_ids: list[str] = []
-    batch_seqs: list[np.ndarray] = []
+    def batches():
+        ids: list[str] = []
+        seqs: list[np.ndarray] = []
+        for rec in query_stream:
+            ids.append(rec.id)
+            seqs.append(ab.encode(rec.seq, ctx.qry_orig_alph))
+            if len(seqs) >= opt.query_batch_size:
+                yield ids, seqs
+                ids, seqs = [], []
+        if seqs:
+            yield ids, seqs
 
-    def flush_batch():
-        if not batch_seqs:
-            return
-        # phase 1 (cheap seeds) if iterative, else single full pass
+    # the first-pass options (phase 1 cheap seeds if iterative)
+    so_first = opt.search_opts0 if opt.iterative_search \
+        else opt.search_opts
+
+    def finish_batch(batch_ids, batch_seqs, sd):
+        res1 = ctx.collect_batch(sd, stats)
         if opt.iterative_search:
-            res1 = ctx.process_batch(batch_seqs, opt.search_opts0, stats)
             successful = set(q for q, ms in res1.items() if ms)
             for q in sorted(successful):
                 write_query_records(batch_ids[q], batch_seqs[q], res1[q])
-            remaining = [q for q in range(len(batch_seqs)) if q not in successful]
+            remaining = [q for q in range(len(batch_seqs))
+                         if q not in successful]
             if remaining:
                 res2 = ctx.process_batch([batch_seqs[q] for q in remaining],
                                          opt.search_opts, stats)
@@ -920,21 +990,30 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
                     write_query_records(batch_ids[remaining[qi]],
                                         batch_seqs[remaining[qi]], ms)
         else:
-            res = ctx.process_batch(batch_seqs, opt.search_opts, stats)
-            for q, ms in sorted(res.items()):
+            for q, ms in sorted(res1.items()):
                 write_query_records(batch_ids[q], batch_seqs[q], ms)
         nonlocal done
         done += len(batch_ids)
         progress.update(done, query_total)
-        batch_ids.clear()
-        batch_seqs.clear()
 
-    for rec in query_stream:
-        batch_ids.append(rec.id)
-        batch_seqs.append(ab.encode(rec.seq, ctx.qry_orig_alph))
-        if len(batch_seqs) >= opt.query_batch_size:
-            flush_batch()
-    flush_batch()
+    # one-deep seeding prefetch: batch k+1's (phase-1) seeding dispatch
+    # is enqueued BEFORE batch k's hits are pulled, so the device seeds
+    # k+1 while the host is blocked on k's packed-hit transfer and tail
+    # (on remote links that transfer dominates e2e).  Results are
+    # byte-identical either way: each batch's computation is unchanged
+    # and outputs are written in order (LAMBDA_SEED_PREFETCH=0 disables).
+    prefetch = os.environ.get("LAMBDA_SEED_PREFETCH", "1") != "0"
+    pending = None
+    for batch_ids, batch_seqs in batches():
+        sd = ctx.dispatch_seeding(batch_seqs, so_first, stats)
+        if pending is not None:
+            finish_batch(*pending)
+        pending = (batch_ids, batch_seqs, sd)
+        if not prefetch:
+            finish_batch(*pending)
+            pending = None
+    if pending is not None:
+        finish_batch(*pending)
     progress.finish()
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)

@@ -52,11 +52,11 @@ def workdir(tmp_path_factory):
     return d
 
 
-def _search(workdir: Path, tag: str, extra_env) -> bytes:
+def _search(workdir: Path, tag: str, extra_env, *extra_args) -> bytes:
     out = workdir / f"out_{tag}.m8"
     r = run_cli("searchp", "-q", str(workdir / "q.fasta"),
                 "-i", str(workdir / "db.lit"), "-o", str(out), "-v", "0",
-                extra_env=extra_env)
+                *extra_args, extra_env=extra_env)
     assert r.returncode == 0, f"{extra_env}: {r.stderr}"
     data = out.read_bytes()
     assert data.strip(), f"{extra_env}: empty output"
@@ -131,3 +131,16 @@ def test_fuse_planner_gating(monkeypatch):
 
     monkeypatch.setattr(extend, "_use_pallas", lambda: False)
     assert len(extend._fuse_dispatch_groups(groups)) == 2  # no pallas
+
+
+def test_seed_prefetch_byte_parity(workdir):
+    """The one-deep cross-batch seeding prefetch (run_search dispatches
+    batch k+1's seeding before pulling batch k's hits) must not change
+    output bytes: each batch's computation is identical, only the device
+    queue order changes.  --query-batch 1 forces multiple batches so
+    the pipeline actually overlaps."""
+    on = _search(workdir, "prefetch_on", {"LAMBDA_SEED_PREFETCH": "1"},
+                 "--query-batch", "1")
+    off = _search(workdir, "prefetch_off", {"LAMBDA_SEED_PREFETCH": "0"},
+                  "--query-batch", "1")
+    assert on == off
