@@ -112,7 +112,9 @@ def get_lib():
         i32p, ctypes.c_int32, i32p,
         i32p, ctypes.c_int32, i32p,
         ctypes.c_int32, i32p, ctypes.c_int32,
-        i32p, u8p, i32p, ctypes.c_int32, ctypes.c_int32, i32p,
+        i32p, u8p, i32p, ctypes.c_int32, ctypes.c_int32,
+        i32p, ctypes.c_int32,               # nc (per-row), x_drop
+        i32p,
     ]
     lib.sw_score_batch_host.restype = None
     lib.bgzf_compress_block.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32,
@@ -362,9 +364,14 @@ def sw_score_batch(q_list, s_list, subst: np.ndarray,
                    gap_first: int, gap_extend: int,
                    subst_rev: np.ndarray | None = None,
                    use_rev: np.ndarray | None = None,
-                   band: np.ndarray | None = None) -> np.ndarray:
+                   band: np.ndarray | None = None,
+                   nc: np.ndarray | None = None,
+                   x_drop: int = 0) -> np.ndarray:
     """Batched score-only local SW on the host (pass-1 CPU fallback).
-    band: optional per-row diagonal band sizes (None = full rectangle)."""
+    band: optional per-row diagonal band sizes (None = full rectangle).
+    nc/x_drop: chunk-granular X-drop early exit (LAMBDA_SW_XDROP
+    semantics, sw_band.sw_band_xdrop_reference) with per-row column
+    chunk sizes; x_drop=0 disables."""
     lib = get_lib()
     assert lib is not None
     B = len(q_list)
@@ -374,6 +381,8 @@ def sw_score_batch(q_list, s_list, subst: np.ndarray,
         q_list, s_list, subst, subst_rev, use_rev)
     band = (np.ascontiguousarray(band, dtype=np.int32)
             if band is not None else None)
+    nc = (np.ascontiguousarray(nc, dtype=np.int32)
+          if nc is not None else None)
     score = np.zeros(B, dtype=np.int32)
     lib.sw_score_batch_host(
         _ptr(q, i32p), q.shape[1], _ptr(qlen, i32p),
@@ -382,5 +391,7 @@ def sw_score_batch(q_list, s_list, subst: np.ndarray,
         _ptr(sub_rev, i32p) if sub_rev is not None else None,
         _ptr(urev, u8p) if urev is not None else None,
         _ptr(band, i32p) if band is not None else None,
-        int(gap_first), int(gap_extend), _ptr(score, i32p))
+        int(gap_first), int(gap_extend),
+        _ptr(nc, i32p) if nc is not None else None, int(x_drop),
+        _ptr(score, i32p))
     return score.astype(np.int64)

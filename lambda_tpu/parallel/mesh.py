@@ -383,6 +383,13 @@ def make_sharded_band_scorer(mesh: Mesh, N: int, D: int, gap_first: int,
             out = sw_band.sw_band_score_device(
                 qwin, swin, d_row, e8, D, gap_first, gap_extend)
         else:
+            if sw_band._XDROP:
+                # the XLA scan kernel has no chunk-granular X-drop;
+                # refuse rather than silently diverge from the pallas
+                # backend (same policy as extend._run_bucketed)
+                raise NotImplementedError(
+                    "LAMBDA_SW_XDROP is not implemented by the XLA "
+                    "fallback the sharded extension uses off-TPU")
             ext32 = e8.astype(jnp.int32)
             best, _, _ = sw_xla.sw_score_batch(
                 qwin, swin, ext32, gap_first, gap_extend, band_d=d_row)

@@ -327,7 +327,19 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
                                  subst_ext_rev, gap_first, gap_extend,
                                  bs_split)
         if with_trace:
+            # pass 2 is exact DP on every backend: with X-drop the pallas
+            # flow also reports survivors' exact scores (trace_pass tail)
             return native.sw_traceback_batch(*args, **kw)
+        from ..ops import sw_band
+        if sw_band._XDROP:
+            # replicate the lane kernel's chunk-granular X-drop with each
+            # match's own bucket-plan chunk size, so CPU (native) and TPU
+            # (pallas) backends score pass 1 identically
+            ncs = np.array(
+                [sw_band._plan(_bucket(int(qlen[i])) + _bucket_d(int(d_row[i])),
+                               _bucket_d(int(d_row[i])))[3]
+                 for i in range(n)], dtype=np.int32)
+            kw.update(nc=ncs, x_drop=sw_band._XDROP)
         return native.sw_score_batch(*args, **kw), traces
 
     qb = np.array([_bucket(x) for x in qlen])
@@ -388,6 +400,16 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
                 qarr, sarr, darr, e8_rev if r else e8_fwd,
                 gap_first, gap_extend)
         else:
+            from ..ops import sw_band
+            if sw_band._XDROP:
+                # no chunk-granular X-drop in the XLA scan kernel: refuse
+                # rather than silently score exact DP where the pallas /
+                # native backends score X-drop (backend determinism)
+                raise NotImplementedError(
+                    "LAMBDA_SW_XDROP is implemented by the Pallas lane "
+                    "kernel and the native host kernel, not the XLA "
+                    "fallback (unset LAMBDA_SW_XDROP or use "
+                    "LAMBDA_SW_KERNEL=native)")
             mat = dev_rev if r else dev_fwd
             best, _, _ = sw_xla.sw_score_batch(
                 jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first,

@@ -159,10 +159,16 @@ static int32_t sw_one(const int32_t* q, int32_t qlen,
 
 // Score-only SW (pass 1 CPU fallback): O(qlen) memory, no traceback.
 // band: see sw_one (cells with j - i in [0, band]; band < 0 = unbanded).
+// nc/x_drop: chunk-granular X-drop early exit replicating the Pallas
+// lane kernel's LAMBDA_SW_XDROP semantics (sw_band_xdrop_reference):
+// after every nc columns, if max(H, E, 0) over the column's band has
+// fallen more than x_drop below the best (and best > 0), the alignment
+// is dead.  x_drop <= 0 or nc <= 0 disables.
 static int32_t sw_score_one(const int32_t* q, int32_t qlen,
                             const int32_t* s, int32_t slen, int32_t band,
                             const int32_t* subst, int32_t alph,
-                            int32_t gap_first, int32_t gap_extend) {
+                            int32_t gap_first, int32_t gap_extend,
+                            int32_t nc, int32_t x_drop) {
     const bool banded = band >= 0;
     std::vector<int32_t> H(qlen + 1, 0), E(qlen + 1, NEG);
     int32_t best = 0;
@@ -174,6 +180,7 @@ static int32_t sw_score_one(const int32_t* q, int32_t qlen,
         int32_t f = NEG;
         int32_t h_diag = H[ilo - 1];  // H(ilo-1, j-1): 0 or fresh at d=band
         int32_t h_up = 0;   // H(ilo-1, j) is boundary/out-of-band: 0
+        int32_t colmax = 0;
         for (int32_t i = ilo; i <= ihi; ++i) {
             int32_t e = E[i] + gap_extend;
             int32_t eo = H[i] + gap_first;
@@ -190,7 +197,12 @@ static int32_t sw_score_one(const int32_t* q, int32_t qlen,
             E[i] = e;
             h_up = h;
             if (h > best) best = h;
+            if (h > colmax) colmax = h;
+            if (e > colmax) colmax = e;
         }
+        if (x_drop > 0 && nc > 0 && j % nc == 0 && best > 0 &&
+            colmax < best - x_drop)
+            break;
     }
     return best;
 }
@@ -203,6 +215,7 @@ void sw_score_batch_host(const int32_t* q, int32_t q_stride,
                          const int32_t* subst_rev, const uint8_t* use_rev,
                          const int32_t* band,
                          int32_t gap_first, int32_t gap_extend,
+                         const int32_t* nc, int32_t x_drop,
                          int32_t* score_out) {
 #pragma omp parallel for schedule(dynamic, 8)
     for (int32_t b = 0; b < B; ++b) {
@@ -211,7 +224,8 @@ void sw_score_batch_host(const int32_t* q, int32_t q_stride,
         score_out[b] = sw_score_one(q + (int64_t)b * q_stride, qlen[b],
                                     s + (int64_t)b * s_stride, slen[b],
                                     band ? band[b] : -1,
-                                    mat, alph, gap_first, gap_extend);
+                                    mat, alph, gap_first, gap_extend,
+                                    nc ? nc[b] : 0, x_drop);
     }
 }
 

@@ -154,6 +154,52 @@ def test_native_score_batch_matches_reference():
 
 
 @needs_native
+def test_native_score_xdrop_matches_scalar_reference():
+    """The native score kernel's chunk-granular X-drop must equal
+    sw_band_xdrop_reference (the pinned LAMBDA_SW_XDROP semantics of the
+    Pallas lane kernel) — including the trough-restart case where it
+    differs from exact DP — so CPU and TPU backends score pass 1
+    identically with X-drop enabled."""
+    from lambda_tpu.ops import sw_band
+
+    A = 4
+    subst = np.full((A, A), -10, dtype=np.int32)
+    np.fill_diagonal(subst, 5)
+    # the trough-restart shape from tests/test_ops._xdrop_setup:
+    # 20 matches, 40-mismatch trough, 30 matches; banded D=0
+    q = np.zeros(90, dtype=np.int32)
+    s = np.zeros(90, dtype=np.int32)
+    q[20:60] = 1
+    s[20:60] = 2
+    q[60:90] = s[60:90] = 3
+    got = native.sw_score_batch(
+        [q], [s], subst, -12, -1, band=np.array([0], np.int32),
+        nc=np.array([16], np.int32), x_drop=16)
+    want = sw_band.sw_band_xdrop_reference(q, s, 0, subst, -12, -1,
+                                           x_drop=16, nc=16)
+    assert int(got[0]) == want == 100
+    # large X: exact (same shape, no early exit)
+    got2 = native.sw_score_batch(
+        [q], [s], subst, -12, -1, band=np.array([0], np.int32),
+        nc=np.array([16], np.int32), x_drop=10000)
+    assert int(got2[0]) == 150
+    # random pairs, assorted bands/chunks: full agreement
+    rng = np.random.default_rng(9)
+    q_list = [rng.integers(0, A, size=rng.integers(20, 70)).astype(np.int32)
+              for _ in range(12)]
+    s_list = [rng.integers(0, A, size=rng.integers(20, 80)).astype(np.int32)
+              for _ in range(12)]
+    bands = rng.integers(0, 14, size=12).astype(np.int32)
+    ncs = rng.choice([8, 16, 32], size=12).astype(np.int32)
+    got3 = native.sw_score_batch(q_list, s_list, subst, -12, -1,
+                                 band=bands, nc=ncs, x_drop=7)
+    want3 = [sw_band.sw_band_xdrop_reference(
+        qq, ss, int(b), subst, -12, -1, x_drop=7, nc=int(c))
+        for qq, ss, b, c in zip(q_list, s_list, bands, ncs)]
+    np.testing.assert_array_equal(got3, want3)
+
+
+@needs_native
 def test_banded_run_bucketed_backends_agree(monkeypatch):
     """_run_bucketed's banded score pass: native and XLA backends match
     the exact banded reference on virtual windows (incl. a window poking
