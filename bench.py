@@ -62,7 +62,41 @@ signal.alarm(int(os.environ.get("LAMBDA_BENCH_TIMEOUT", "1800")))
 REPS = 20
 
 
+def _await_backend() -> None:
+    """Wait for the TPU link before the parent process touches jax.
+
+    When the axon relay is down, plugin init blocks FOREVER and cannot
+    be retried in-process (the wedged state persists) — so probe
+    ``jax.devices()`` in a SUBPROCESS with a short timeout and only
+    import jax here once a probe succeeds.  Bounded: leaves >=600 s of
+    the global watchdog budget for the bench itself, so a dead link
+    still fails loudly instead of hanging the driver."""
+    import subprocess
+    import sys
+
+    budget = int(os.environ.get("LAMBDA_BENCH_TIMEOUT", "1800")) - 600
+    t0 = time.time()
+    first = True
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > budget:
+            return  # let the in-process watchdog produce the real error
+        if first:
+            print("# TPU link down — retrying before the bench starts",
+                  flush=True)
+            first = False
+        time.sleep(30)
+
+
 def main() -> None:
+    _await_backend()
     import jax
 
     dev = jax.devices()[0]
