@@ -89,8 +89,9 @@ def _await_backend() -> None:
         if time.time() - t0 > budget:
             return  # let the in-process watchdog produce the real error
         if first:
+            # stderr: stdout is reserved for the single JSON line
             print("# TPU link down — retrying before the bench starts",
-                  flush=True)
+                  file=sys.stderr, flush=True)
             first = False
         time.sleep(30)
 

@@ -29,8 +29,14 @@ from . import taxonomy
 from .build import KmerIndex, build_kmer_index
 
 # bump on incompatible changes (mirrors supportedIndexGeneration,
-# shared_definitions.hpp:316)
+# shared_definitions.hpp:316).  Generation 1: monolithic layout (global
+# ids/seq_concat in the .npz).  Generation 2: seq-in-shards layout
+# (--shards N; sequences/ids live in the shard sidecars) — a distinct
+# generation so pre-sharding builds reject it with the recreate
+# message instead of a KeyError on the missing 'ids' array.
 INDEX_GENERATION = 1
+INDEX_GENERATION_SHARDED = 2
+SUPPORTED_GENERATIONS = (INDEX_GENERATION, INDEX_GENERATION_SHARDED)
 
 
 class SubsetList:
@@ -170,9 +176,17 @@ class IndexData:
             self.trans_alph, self.red_alph, self.genetic_code)
         loaded_frame_ids = [s * fps + f for s in loaded_subj
                             for f in range(fps)]
-        # arithmetic lengths must agree with the actual translation
+        # arithmetic lengths must agree with the actual translation —
+        # a real check, not an assert: a divergence silently shifts
+        # every subject window gather (wrong alignments), and -O
+        # strips asserts
         for fid, fa in zip(loaded_frame_ids, frames):
-            assert len(fa) == glens[fid], (fid, len(fa), glens[fid])
+            if len(fa) != glens[fid]:
+                from ..misc import IndexException
+                raise IndexException(
+                    f"partial load: frame {fid} translated length "
+                    f"{len(fa)} != arithmetic length {int(glens[fid])} "
+                    "(corrupt shard or alphabet-chain mismatch)")
         contrib = np.zeros(F, dtype=np.int64)
         contrib[loaded_frame_ids] = glens[loaded_frame_ids]
         offsets = np.zeros(F + 1, dtype=np.int64)
@@ -379,7 +393,8 @@ def save_index(idx: IndexData, path: str) -> None:
     meta = idx.kmer_meta
     n_shards = len(idx.kmer_shards)
     header = dict(
-        generation=idx.generation,
+        generation=(INDEX_GENERATION_SHARDED if n_shards
+                    else INDEX_GENERATION),
         index_type=idx.index_type,
         orig_alph=idx.orig_alph,
         trans_alph=idx.trans_alph,
@@ -442,11 +457,11 @@ def read_index_options(path: str) -> dict:
     search_algo.hpp:69-120)."""
     with np.load(path, allow_pickle=False) as z:
         header = json.loads(z["header"].tobytes().decode())
-    if header["generation"] != INDEX_GENERATION:
+    if header["generation"] not in SUPPORTED_GENERATIONS:
         raise RuntimeError(
             f"ERROR: this version only supports INDEXES of generation "
-            f"{INDEX_GENERATION}, but the provided index was of generation: "
-            f"{header['generation']}. PLEASE RECREATE THE INDEX!")
+            f"{list(SUPPORTED_GENERATIONS)}, but the provided index was of "
+            f"generation: {header['generation']}. PLEASE RECREATE THE INDEX!")
     return header
 
 

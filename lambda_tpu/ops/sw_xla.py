@@ -159,6 +159,83 @@ def sw_align_batch(q, s, subst_ext, gap_first, gap_extend, band_d=None):
                       with_dirs=True, band_d=band_d)
 
 
+@functools.partial(jax.jit, static_argnames=("x_drop",))
+def sw_xdrop_score_batch(q, s, subst_ext, gap_first, gap_extend,
+                         band_d, nc, x_drop: int):
+    """Banded score pass with the chunk-granular X-drop semantics of
+    ``sw_band.sw_band_xdrop_reference`` (the LAMBDA_SW_XDROP contract
+    shared by the Pallas lane kernel and the native host kernel): after
+    every ``nc[b]`` columns, alignment ``b`` is dead once
+    ``max(H, E, 0)`` over the column's band has fallen more than
+    ``x_drop`` below its best-so-far (and best > 0); a dead alignment's
+    best is frozen.  Pure-XLA fallback — no early exit (static control
+    flow), identical scores.
+
+    Column scan instead of ``_scan_core``'s anti-diagonals: the X-drop
+    check is column-granular.  The in-column F recurrence
+    ``F[i] = max(F[i-1]+ge, H[i-1]+gf)`` resolves without a sequential
+    inner loop as a max-plus prefix: with ``G = H without F`` (the zero
+    floor makes ``H = max(G, F)`` and ``ge >= gf`` drops the
+    ``F[i-1]+gf`` candidate), ``F[i] = i*ge + cummax(c - t*ge)[i]``
+    where ``c_t = G[t-1] + gf``.
+
+    Returns best (B,) int32.
+    """
+    B, M = q.shape
+    N = s.shape[1]
+    prof = subst_ext[q]  # (B, M, A1): prof[b, i, c] = S(q_i, c)
+    i_idx = jnp.arange(M + 1, dtype=jnp.int32)[None, :]   # (1, M+1)
+    ge = jnp.int32(gap_extend)
+    gf = jnp.int32(gap_first)
+    iexts = (jnp.arange(M + 1, dtype=jnp.int32) * ge)[None, :]
+    nc = jnp.maximum(nc, 1)
+
+    def step(carry, xs):
+        Hp, Ep, best, dead = carry          # (B, M+1) prev-column finals
+        j, s_col = xs                       # scalar, (B,)
+        d = j - i_idx                       # diagonal (1-based i == row)
+        inb = (d >= 0) & (d <= band_d[:, None]) \
+            & (i_idx >= 1) & (i_idx <= M)
+        # E(i, j) = max(E(i, j-1)+ge, H(i, j-1)+gf); invalid at d == 0
+        E = jnp.maximum(Ep + ge, Hp + gf)
+        E = jnp.where(inb & (d > 0), E, NEG)
+        # substitution S(q_i, s_j) for i in 1..M
+        sub = jnp.take_along_axis(
+            prof, s_col[:, None, None].astype(jnp.int32), axis=2)[:, :, 0]
+        sub = jnp.concatenate(
+            [jnp.full((B, 1), NEG, jnp.int32), sub], axis=1)
+        diag = jnp.concatenate(
+            [jnp.full((B, 1), 0, jnp.int32), Hp[:, :-1]], axis=1) + sub
+        G = jnp.maximum(jnp.maximum(diag, 0), E)            # H without F
+        G = jnp.where(inb, G, 0)       # out-of-band H reads as 0 (ref)
+        # F via max-plus prefix; candidates only where F is defined
+        # (in band and d < D — the reference's F guard)
+        f_ok = inb & (d < band_d[:, None])
+        c = jnp.concatenate(
+            [jnp.full((B, 1), 0, jnp.int32), G[:, :-1]], axis=1) + gf
+        u = jnp.where(f_ok, c, NEG) - iexts
+        F = jnp.where(f_ok, jax.lax.cummax(u, axis=1) + iexts, NEG)
+        H = jnp.where(inb, jnp.maximum(G, F), 0)
+        colbest = jnp.max(H, axis=1)
+        best = jnp.where(dead, best, jnp.maximum(best, colbest))
+        # chunk-granular death check (after the column's best update)
+        cur = jnp.maximum(
+            jnp.max(jnp.where(inb, jnp.maximum(H, E), NEG), axis=1), 0)
+        at_chunk = (j % nc) == 0
+        dead = dead | (at_chunk & (best > 0) & (cur < best - x_drop))
+        return (H, E, best, dead), None
+
+    anchor = (q[:, 0] * 0 + s[:, 0] * 0).astype(jnp.int32)  # (B,)
+    H0 = jnp.zeros((B, M + 1), dtype=jnp.int32) + anchor[:, None]
+    E0 = jnp.full((B, M + 1), NEG, dtype=jnp.int32) + anchor[:, None]
+    z = jnp.zeros(B, jnp.int32) + anchor
+    init = (H0, E0, z, z.astype(bool))
+    js = jnp.arange(1, N + 1, dtype=jnp.int32)
+    # s columns as scan inputs: s_cols[j-1] = s[:, j-1]
+    (_, _, best, _), _ = jax.lax.scan(step, init, (js, s.T))
+    return best
+
+
 def traceback(dirs: np.ndarray, b: int, bi: int, bj: int):
     """Walk packed directions for alignment ``b`` from 1-based end cell
     (bi, bj) back to the local start.

@@ -383,16 +383,20 @@ def make_sharded_band_scorer(mesh: Mesh, N: int, D: int, gap_first: int,
             out = sw_band.sw_band_score_device(
                 qwin, swin, d_row, e8, D, gap_first, gap_extend)
         else:
-            if sw_band._XDROP:
-                # the XLA scan kernel has no chunk-granular X-drop;
-                # refuse rather than silently diverge from the pallas
-                # backend (same policy as extend._run_bucketed)
-                raise NotImplementedError(
-                    "LAMBDA_SW_XDROP is not implemented by the XLA "
-                    "fallback the sharded extension uses off-TPU")
             ext32 = e8.astype(jnp.int32)
-            best, _, _ = sw_xla.sw_score_batch(
-                qwin, swin, ext32, gap_first, gap_extend, band_d=d_row)
+            if sw_band._XDROP:
+                # pure-XLA chunk-granular X-drop, same plan chunk size
+                # the pallas kernel would use on these (N, D) windows —
+                # byte-identical scores across backends (same policy as
+                # extend._run_bucketed)
+                plan_nc = sw_band._plan(N, D)[3]
+                best = sw_xla.sw_xdrop_score_batch(
+                    qwin, swin, ext32, gap_first, gap_extend, d_row,
+                    jnp.full(qwin.shape[0], plan_nc, jnp.int32),
+                    sw_band._XDROP)
+            else:
+                best, _, _ = sw_xla.sw_score_batch(
+                    qwin, swin, ext32, gap_first, gap_extend, band_d=d_row)
             out = best.astype(jnp.int32)
         return out[None, None]
 

@@ -401,19 +401,22 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
                 gap_first, gap_extend)
         else:
             from ..ops import sw_band
-            if sw_band._XDROP:
-                # no chunk-granular X-drop in the XLA scan kernel: refuse
-                # rather than silently score exact DP where the pallas /
-                # native backends score X-drop (backend determinism)
-                raise NotImplementedError(
-                    "LAMBDA_SW_XDROP is implemented by the Pallas lane "
-                    "kernel and the native host kernel, not the XLA "
-                    "fallback (unset LAMBDA_SW_XDROP or use "
-                    "LAMBDA_SW_KERNEL=native)")
             mat = dev_rev if r else dev_fwd
-            best, _, _ = sw_xla.sw_score_batch(
-                jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first,
-                gap_extend, band_d=jnp.asarray(darr))
+            if sw_band._XDROP:
+                # pure-XLA chunk-granular X-drop (no early exit,
+                # identical scores): the group's bucket-plan chunk size,
+                # same formula as the native wiring above — with X-drop
+                # on, fusion is gated off so the group is a pure
+                # (qbk, dbk) class
+                plan_nc = sw_band._plan(qbk + dbk, dbk)[3]
+                best = sw_xla.sw_xdrop_score_batch(
+                    jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first,
+                    gap_extend, jnp.asarray(darr),
+                    jnp.full(B, plan_nc, np.int32), sw_band._XDROP)
+            else:
+                best, _, _ = sw_xla.sw_score_batch(
+                    jnp.asarray(qarr), jnp.asarray(sarr), mat, gap_first,
+                    gap_extend, band_d=jnp.asarray(darr))
             scores[idxs] = np.asarray(best)
     return scores, traces
 
@@ -494,9 +497,13 @@ def _fuse_dispatch_groups(group_keys: dict) -> list:
 
     groups = {k: list(v) for k, v in group_keys.items()}
     mode = os.environ.get("LAMBDA_SWB_FUSE", "1")
+    # the X-drop gate must read the LATCHED sw_band._XDROP (what the
+    # kernels actually honor), not the live env: if they disagree the
+    # planner could merge shape classes while the kernel applies
+    # chunk-granular X-drop — the batch-composition dependence this
+    # gate exists to prevent
     fusable = (mode == "force"
-               or (mode != "0" and _use_pallas()
-                   and not int(os.environ.get("LAMBDA_SW_XDROP", "0"))))
+               or (mode != "0" and _use_pallas() and not sw_band._XDROP))
     if not fusable or len(groups) <= 1:
         return [(k, np.asarray(sorted(v)))
                 for k, v in sorted(groups.items())]

@@ -70,6 +70,19 @@ def test_backend_matrix_byte_parity(workdir):
             f"backend combo {COMBOS[i]} diverged from {COMBOS[0]}")
 
 
+def test_backend_matrix_xdrop_byte_parity(workdir):
+    """LAMBDA_SW_XDROP must be backend-invariant too: the native host
+    kernel and the pure-XLA fallback (sw_xla.sw_xdrop_score_batch)
+    implement the same chunk-granular semantics as the pallas lane
+    kernel, so enabling X-drop changes WHICH alignments survive pass 1
+    identically on every backend."""
+    outs = [_search(workdir, f"xd{i}", {**env, "LAMBDA_SW_XDROP": "20"})
+            for i, env in enumerate(COMBOS)]
+    for i, data in enumerate(outs[1:], start=1):
+        assert data == outs[0], (
+            f"x-drop combo {COMBOS[i]} diverged from {COMBOS[0]}")
+
+
 def test_dispatch_fusion_byte_parity(workdir):
     """Merging (qlen, band) shape classes into fewer, larger-padded kernel
     dispatches (extend._fuse_dispatch_groups) must not change output bytes:
@@ -125,9 +138,12 @@ def test_fuse_planner_gating(monkeypatch):
     monkeypatch.setattr(extend, "_use_pallas", lambda: True)
     assert len(extend._fuse_dispatch_groups(groups)) == 1  # fuses
 
-    monkeypatch.setenv("LAMBDA_SW_XDROP", "16")
+    # the gate must read the LATCHED sw_band._XDROP (what the kernels
+    # honor), not the live env var
+    from lambda_tpu.ops import sw_band
+    monkeypatch.setattr(sw_band, "_XDROP", 16)
     assert len(extend._fuse_dispatch_groups(groups)) == 2  # xdrop: off
-    monkeypatch.delenv("LAMBDA_SW_XDROP")
+    monkeypatch.setattr(sw_band, "_XDROP", 0)
 
     monkeypatch.setattr(extend, "_use_pallas", lambda: False)
     assert len(extend._fuse_dispatch_groups(groups)) == 2  # no pallas

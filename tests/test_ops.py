@@ -357,3 +357,75 @@ def test_xdrop_batch_composition_invariant(monkeypatch):
                                         interpret=True)
     assert int(both[0]) == int(alone[0]) == 100
     assert int(both[1]) == 450
+
+
+def test_xdrop_xla_fallback_matches_reference():
+    """The pure-XLA chunk-granular X-drop (sw_xla.sw_xdrop_score_batch,
+    the LAMBDA_SW_XDROP fallback when neither pallas nor the native lib
+    run pass 1) must equal the scalar reference on random ragged
+    batches with assorted bands and chunk sizes — the same contract the
+    pallas lane kernel and the native kernel are pinned to."""
+    import jax.numpy as jnp
+
+    from lambda_tpu.ops import sw_band, sw_xla
+
+    rng = np.random.default_rng(11)
+    A = 10
+    subst = rng.integers(-4, 3, size=(A, A)).astype(np.int32)
+    np.fill_diagonal(subst, 5)
+    ext = sw_xla.extend_matrix(subst)
+    PAD = A
+    for trial in range(12):
+        B = int(rng.integers(1, 5))
+        M = int(rng.integers(5, 40))
+        D = int(rng.integers(1, 15))
+        N = M + D
+        nc = rng.integers(1, 9, size=B).astype(np.int32)
+        x = int(rng.integers(1, 30))
+        qs = rng.integers(0, A, size=(B, M)).astype(np.int32)
+        ss = rng.integers(0, A, size=(B, N)).astype(np.int32)
+        qlen = rng.integers(3, M + 1, size=B)
+        slen = rng.integers(3, N + 1, size=B)
+        band = rng.integers(0, D + 1, size=B).astype(np.int32)
+        for b in range(B):
+            qs[b, qlen[b]:] = PAD
+            ss[b, slen[b]:] = PAD
+        got = np.asarray(sw_xla.sw_xdrop_score_batch(
+            jnp.asarray(qs), jnp.asarray(ss), jnp.asarray(ext), -12, -1,
+            jnp.asarray(band), jnp.asarray(nc), x))
+        for b in range(B):
+            want = sw_band.sw_band_xdrop_reference(
+                qs[b, :qlen[b]], ss[b, :slen[b]], int(band[b]), subst,
+                -12, -1, x_drop=x, nc=int(nc[b]))
+            assert got[b] == want, (trial, b, got[b], want)
+
+
+def test_xdrop_xla_trough_case():
+    """The XLA fallback reproduces the documented trough-restart miss
+    exactly where the pallas kernel does (same scenario as
+    test_xdrop_small_x_latches_dead)."""
+    import jax.numpy as jnp
+
+    from lambda_tpu.ops import sw_band, sw_xla
+
+    A = 4
+    subst = np.full((A, A), -10, dtype=np.int32)
+    np.fill_diagonal(subst, 5)
+    ext = sw_xla.extend_matrix(subst)
+    q = np.zeros((1, 90), dtype=np.int32)
+    s = np.zeros((1, 90), dtype=np.int32)
+    q[0, 20:60] = 1
+    s[0, 20:60] = 2
+    q[0, 60:90] = s[0, 60:90] = 3
+    d = np.zeros(1, dtype=np.int32)
+    got = np.asarray(sw_xla.sw_xdrop_score_batch(
+        jnp.asarray(q), jnp.asarray(s), jnp.asarray(ext), -12, -1,
+        jnp.asarray(d), jnp.asarray(np.array([16], np.int32)), 16))
+    assert int(got[0]) == sw_band.sw_band_xdrop_reference(
+        q[0], s[0], 0, subst, -12, -1, x_drop=16, nc=16) == 100
+    # with a huge X it equals the exact banded DP
+    got2 = np.asarray(sw_xla.sw_xdrop_score_batch(
+        jnp.asarray(q), jnp.asarray(s), jnp.asarray(ext), -12, -1,
+        jnp.asarray(d), jnp.asarray(np.array([16], np.int32)), 10000))
+    assert int(got2[0]) == sw_band.sw_band_reference(
+        q[0], s[0], 0, subst, -12, -1) == 150

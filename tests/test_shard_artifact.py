@@ -52,6 +52,38 @@ def test_sharded_artifact_files(db_and_query):
     assert (d / "db_s2files.lit.shard1").exists()
 
 
+def test_sharded_artifact_generation(db_and_query):
+    """The seq-in-shards layout is a DISTINCT index generation (2): a
+    pre-sharding build must reject it with the recreate message (not a
+    KeyError on the missing global 'ids'), and an unknown generation
+    must fail the header peek."""
+    import json
+
+    from lambda_tpu.index import artifact
+
+    d, db, q = db_and_query
+    lit1 = _mkindex(d, db, "gen1")
+    lit2 = _mkindex(d, db, "gen2", "--shards", "2")
+    assert artifact.read_index_options(str(lit1))["generation"] == 1
+    assert artifact.read_index_options(str(lit2))["generation"] == 2
+
+    # forge a future generation; the peek must raise the recreate error
+    with np.load(str(lit1), allow_pickle=False) as z:
+        payload = {k: z[k] for k in z.files}
+    hdr = json.loads(payload["header"].tobytes().decode())
+    hdr["generation"] = 99
+    payload["header"] = np.frombuffer(
+        json.dumps(hdr).encode(), dtype=np.uint8).copy()
+    forged = d / "forged.lit"
+    np.savez(forged, **payload)
+    import os
+    if not str(forged).endswith(".npz") and os.path.exists(
+            str(forged) + ".npz"):
+        os.replace(str(forged) + ".npz", str(forged))
+    with pytest.raises(Exception, match="RECREATE"):
+        artifact.read_index_options(str(forged))
+
+
 def test_sharded_artifact_search_parity(db_and_query):
     d, db, q = db_and_query
     lit1 = _mkindex(d, db, "s1")
