@@ -86,3 +86,29 @@ def test_bisulfite_seed_delta2_pigeonhole(bs_db, tmp_path):
     assert rows, "BS pigeonhole seeding found nothing"
     assert rows[0][1] == "chr1"
     assert 95 <= int(rows[0][8]) <= 105
+
+
+def test_bisulfite_xdrop_backend_parity(bs_db, tmp_path):
+    """X-drop with the BISULFITE reverse matrix: odd subject frames
+    select subst_rev in every pass-1 backend, and the chunk-granular
+    X-drop must compose with that selection identically (native host
+    kernel vs pure-XLA fallback) — byte-identical m8 output."""
+    genome, lit = bs_db
+    read_fwd = genome[100:180].replace("C", "T")
+    read_rev = revcomp(genome[200:280].replace("G", "A"))
+    q = tmp_path / "reads.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("r_fwd", read_fwd.encode()),
+                          fasta.SeqRecord("r_rev", read_rev.encode())])
+    outs = []
+    for tag, env in (("nat", {"LAMBDA_SW_KERNEL": "native"}),
+                     ("xla", {"LAMBDA_SW_KERNEL": "xla",
+                              "LAMBDA_NO_NATIVE": "1"})):
+        out = tmp_path / f"out_{tag}.m8"
+        r = run_cli("searchbs", "-q", str(q), "-i", str(lit),
+                    "-o", str(out), "-v", "0",
+                    extra_env={**env, "LAMBDA_SW_XDROP": "20"})
+        assert r.returncode == 0, r.stderr
+        data = out.read_bytes()
+        assert data.strip(), f"{tag}: empty output"
+        outs.append(data)
+    assert outs[0] == outs[1]
