@@ -461,6 +461,7 @@ class SearchContext:
             groups.setdefault(
                 (extend._bucket(int(qlen[i])), extend._bucket_d(int(d_row[i])),
                  bool(rev[i])), []).append(i)
+        pending = []          # dispatch ALL shape classes, then sync once
         for (qbk, dbk, r), idxs in groups.items():
             idxs = np.asarray(idxs)
             N, W, BTL, _, _ = sw_band._plan(qbk + dbk, dbk)
@@ -485,13 +486,19 @@ class SearchContext:
                 arrs["d_row"][a, b, p] = d_row[i]
                 places[k2] = (a, b, p)
             step = self.band_scorer_for(N, dbk, gf, ge)
-            out = np.asarray(step(
+            out = step(
                 d_trans_q, self.d_sh["trans"], self.d_sh["offsets"],
                 self.d_sh["lengths"],
                 *(jnp.asarray(arrs[k]) for k in
                   ("qry_id", "qry_start", "qry_len", "subj_id",
                    "d_lo", "d_row")),
-                jnp.asarray(self.e8_rev if r else self.e8_fwd)))
+                jnp.asarray(self.e8_rev if r else self.e8_fwd))
+            pending.append((idxs, places, out))
+        # single host sync point (same pattern as extend.sw_scores_device):
+        # a per-bucket np.asarray would serialize one dispatch+link
+        # round-trip per shape class
+        for idxs, places, out in pending:
+            out = np.asarray(out)
             scores[idxs] = out[places[:, 0], places[:, 1], places[:, 2]]
         return scores
 
