@@ -104,13 +104,23 @@ def build_kmer_index(red_concat: np.ndarray, offsets: np.ndarray,
     if order is None:
         # np.lexsort uses the LAST key as primary
         order = np.lexsort(tuple(keys[:, w] for w in reversed(range(words))))
-    frame_of_pos = np.repeat(
-        np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets))
+    # pos[i] = arange(P)[order][i] == order[i]: no gather needed.
+    # keys/frame gathers run parallel in the native lib (the reference
+    # builds its index on all threads, mkindex_algo.hpp:600-618); numpy
+    # fancy-indexing fallback is identical.
+    sorted_keys = native.take_rows_u32(keys, order)
+    if sorted_keys is None:
+        sorted_keys = keys[order]
+    frame = native.take_frame_of_pos(offsets, order)
+    if frame is None:
+        frame_of_pos = np.repeat(
+            np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets))
+        frame = frame_of_pos[order].astype(np.uint32)
     return KmerIndex(
         alphabet_size=alphabet_size,
         bits=bits,
         words=words,
-        keys=keys[order],
-        pos=np.arange(len(red_concat), dtype=np.uint32)[order],
-        frame=frame_of_pos[order].astype(np.uint32),
+        keys=sorted_keys,
+        pos=np.asarray(order, dtype=np.uint32),
+        frame=frame,
     )

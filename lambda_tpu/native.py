@@ -130,6 +130,12 @@ def get_lib():
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.sort_rows_u32.argtypes = [u32p, ctypes.c_int64, ctypes.c_int32, i64p]
     lib.sort_rows_u32.restype = None
+    lib.take_rows_u32.argtypes = [u32p, ctypes.c_int64, ctypes.c_int32,
+                                  i64p, u32p]
+    lib.take_rows_u32.restype = None
+    lib.take_frame_of_pos.argtypes = [i64p, ctypes.c_int64, i64p,
+                                      ctypes.c_int64, u32p]
+    lib.take_frame_of_pos.restype = None
     lib.pack_position_keys.argtypes = [u8p, ctypes.c_int64, i64p,
                                        ctypes.c_int64, ctypes.c_int32,
                                        ctypes.c_int32, u32p]
@@ -338,6 +344,45 @@ def sort_rows_u32(keys: np.ndarray) -> np.ndarray | None:
     lib.sort_rows_u32(keys.ctypes.data_as(u32p), P, keys.shape[1],
                       order.ctypes.data_as(i64p))
     return order
+
+
+def take_rows_u32(src: np.ndarray, order: np.ndarray) -> np.ndarray | None:
+    """Parallel ``src[order]`` for (P, words) uint32 rows (the sorted
+    key-array gather of the index build).  Returns None without the
+    lib (callers fall back to numpy fancy indexing)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.uint32)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    P, words = src.shape
+    dst = np.empty((P, words), dtype=np.uint32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.take_rows_u32(src.ctypes.data_as(u32p), P, words,
+                      order.ctypes.data_as(i64p),
+                      dst.ctypes.data_as(u32p))
+    return dst
+
+
+def take_frame_of_pos(offsets: np.ndarray,
+                      order: np.ndarray) -> np.ndarray | None:
+    """Parallel ``frame_of_pos[order]`` without materializing the
+    O(P) ``np.repeat`` expansion: per-row binary search over the frame
+    offsets.  Returns None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    P = len(order)
+    out = np.empty(P, dtype=np.uint32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.take_frame_of_pos(offsets.ctypes.data_as(i64p), len(offsets) - 1,
+                          order.ctypes.data_as(i64p), P,
+                          out.ctypes.data_as(u32p))
+    return out
 
 
 def pack_position_keys(concat: np.ndarray, offsets: np.ndarray,

@@ -400,6 +400,39 @@ void sort_rows_u32(const uint32_t* keys, int64_t P, int32_t words,
     for (int64_t i = 0; i < P; ++i) order[i] = rows[i].idx;
 }
 
+// Parallel row gather: dst[i, :] = src[order[i], :] (uint32 rows).
+// The remaining serial numpy step of the index build: applying the sort
+// order to the key array and the frame ids — at UniProt scale these are
+// multi-hundred-MB gathers worth all cores (reference builds its index
+// on all threads, mkindex_algo.hpp).
+void take_rows_u32(const uint32_t* src, int64_t P, int32_t words,
+                   const int64_t* order, uint32_t* dst) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < P; ++i) {
+        const uint32_t* r = src + order[i] * (int64_t)words;
+        uint32_t* d = dst + i * (int64_t)words;
+        for (int32_t w = 0; w < words; ++w) d[w] = r[w];
+    }
+}
+
+// Parallel frame-id gather fused with the frame_of_pos expansion:
+// out[i] = frame_of(order[i]) where frame_of(p) is the index f with
+// offsets[f] <= p < offsets[f+1] (binary search per row — avoids
+// materializing the O(P) np.repeat expansion at all).
+void take_frame_of_pos(const int64_t* offsets, int64_t n_frames,
+                       const int64_t* order, int64_t P, uint32_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < P; ++i) {
+        const int64_t p = order[i];
+        int64_t lo = 0, hi = n_frames;   // find f: offsets[f] <= p
+        while (lo + 1 < hi) {
+            const int64_t mid = (lo + hi) / 2;
+            if (offsets[mid] <= p) lo = mid; else hi = mid;
+        }
+        out[i] = (uint32_t)lo;
+    }
+}
+
 // ---------------------------------------------------------------------------
 // Match widening merge passes (search_algo.hpp:1148-1169): pairwise merge
 // left->right, swallow right->left, unique-mask — over rows pre-sorted by

@@ -294,3 +294,33 @@ def test_native_traceback_stats_matches_python(bs_mode):
                 bm.num_positives, bm.num_gap_opens, bm.num_gaps,
                 bm.num_insertions, bm.num_deletions]
         assert list(st[b]) == want, (b, list(st[b]), want)
+
+
+def test_take_rows_and_frame_of_pos():
+    """Parallel index-build gathers == numpy fancy indexing: keys[order]
+    row gather and the fused frame_of_pos[order] lookup (binary search
+    per row instead of materializing np.repeat)."""
+    from lambda_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    P, words = 5000, 4
+    src = rng.integers(0, 2**32, size=(P, words), dtype=np.uint32)
+    order = rng.permutation(P).astype(np.int64)
+    got = native.take_rows_u32(src, order)
+    assert (got == src[order]).all()
+
+    # ragged frames incl. empty ones
+    lens = rng.integers(0, 7, size=40).astype(np.int64)
+    lens[0] = 0
+    offsets = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    Pf = int(offsets[-1])
+    order2 = rng.permutation(Pf).astype(np.int64)
+    frame_of_pos = np.repeat(
+        np.arange(len(lens), dtype=np.int64), lens)
+    want = frame_of_pos[order2].astype(np.uint32)
+    got2 = native.take_frame_of_pos(offsets, order2)
+    assert (got2 == want).all()
