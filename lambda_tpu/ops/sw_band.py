@@ -83,22 +83,23 @@ def band_pad(D: int) -> int:
 
 def lane_tile(W: int) -> int:
     """Batch lanes per kernel program (bigger tiles keep the VPU busy;
-    VMEM budget: 3 int32 (W, BTL) state arrays + a double-buffered
-    (NC>=8, W, BTL) int8 input block must fit scoped VMEM)."""
-    btl = (1 << 21) // max(W, 8)        # ~2 MB of int32 state total
-    btl = min(btl, (1 << 18) // max(W, 8))       # 8-col block <= 2 MB
+    VMEM budget: 3 int32 (W, BTL) state arrays — 12*W*BTL bytes — plus
+    a double-buffered (NC>=8, W, BTL) int8 input block must fit scoped
+    VMEM; W*BTL <= 2^18 keeps the state ~3 MB and an 8-col block 2 MB)."""
+    btl = (1 << 18) // max(W, 8)
     btl = max(128, min(_BTL_CAP, btl))
     return (btl // 128) * 128
 
 
 def _plan(Ns: int, D: int, layout: str | None = None):
     """Tile plan for a (window=Ns, band=D) bucket: returns
-    (N, W, BROWS, NC, JB) with N a multiple of NC and of JB, NC the
-    subject columns per VMEM chunk, JB the image/shear column block
-    (O(JB^2) per-block image instead of O(N^2) — the rectangle kernel's
-    M_MAX cliff does not exist here).  BROWS is the batch-padding unit
-    (alignment rows per kernel tile); W the per-alignment band width the
-    image is sheared to."""
+    (N, W, BROWS, NC, JB) with N a multiple of NC, the subject columns
+    per VMEM chunk.  BROWS is the batch-padding unit (alignment rows
+    per kernel tile); W the per-alignment band width the image is
+    sheared to.  JB == N (kept in the tuple for callers that unpack 5;
+    the retired MXU stride-shear image was its only real consumer, and
+    its 512-block rounding inflated N — and with it DP work and image
+    HBM — by up to ~1.8x for windows past 512 columns)."""
     layout = layout or _LAYOUT
     if layout == "lane":
         Ws, P, LW, BT = _lane_geometry(D)
@@ -114,59 +115,9 @@ def _plan(Ns: int, D: int, layout: str | None = None):
     N = max(_ceil(Ns, 8), W)
     if NC >= N:
         NC = N = _ceil(N, 8)
-        JB = N
-    elif N <= 512:
-        N = _ceil(N, NC)
-        JB = N
     else:
-        JB = max(512 // NC, 1) * NC
-        N = _ceil(N, JB)
-    return N, W, BROWS, NC, JB
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_tiles", "BTL", "D", "W", "N", "JB"))
-def _band_image(q, s, subst_ext8, n_tiles, BTL, D, W, N, JB):
-    """Sheared banded substitution image SUBB (T, N, W, BTL) int8 with
-    SUBB[t, j, w, b] = S(q[b, j + w - D], s[b, j]) (PAD -> -128).
-
-    q, s: (B, N) int32 rank arrays (q padded with PAD rank beyond qlen —
-    the query buffer is window-width so the shear never crosses rows).
-    Built per column-block on the MXU (one-hot contractions), then
-    sheared into band coordinates by a pad+reshape stride trick — no
-    gathers anywhere.
-    """
-    B = q.shape[0]
-    C = subst_ext8.shape[0]
-    iota = jnp.arange(C, dtype=jnp.int32)
-    ohs = (s[:, :, None] == iota).astype(jnp.bfloat16)           # (B, N, C)
-    # prof_s[b, j, c] = S(c, s_j)
-    prof_s = jax.lax.dot_general(
-        ohs, subst_ext8.astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.bfloat16)                     # (B, N, C)
-    pad_rank = C - 1
-    qpad = jnp.concatenate(
-        [jnp.full((B, D), pad_rank, q.dtype), q], axis=1)        # (B, N+D)
-
-    Mblk = JB + D
-    blocks = []
-    for j0 in range(0, N, JB):
-        qblk = qpad[:, j0 : j0 + Mblk]                           # i = j0-D+r
-        ohq = (qblk[:, :, None] == iota).astype(jnp.bfloat16)    # (B,Mblk,C)
-        pblk = prof_s[:, j0 : j0 + JB, :]                        # (B, JB, C)
-        sub = jax.lax.dot_general(
-            pblk, ohq, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.bfloat16)                 # (B,JB,Mblk)
-        sub = sub.astype(jnp.int8)
-        # shear: SUBB[b, j0+jj, w] = sub[b, jj, jj + w] via stride Mblk+1
-        flat = sub.reshape(B, JB * Mblk)
-        tail = jnp.full((B, JB), PAD_SCORE8, jnp.int8)
-        flat = jnp.concatenate([flat, tail], axis=1)
-        blocks.append(flat.reshape(B, JB, Mblk + 1)[:, :, :W])
-    subb = jnp.concatenate(blocks, axis=1) if len(blocks) > 1 else blocks[0]
-    subb = subb.reshape(n_tiles, BTL, N, W).transpose(0, 2, 3, 1)
-    return subb                                                   # (T,N,W,BTL)
+        N = _ceil(N, NC)
+    return N, W, BROWS, NC, N
 
 
 @functools.partial(jax.jit,
@@ -317,8 +268,7 @@ def _band_image_lane(q, s, d_rows, subst_ext8, n_tiles, BT, P, LW, D, Ws, N):
 
 
 def _make_band_dirs_kernel(NC: int, Ws: int, LW: int, BT: int,
-                           n_chunks: int, D: int, gap_first: int,
-                           gap_extend: int):
+                           D: int, gap_first: int, gap_extend: int):
     """Direction-emitting variant of the lane-layout banded kernel
     (pass 2 of the two-pass extension, search_algo.hpp:1296): per cell a
     packed uint8 code in the sw_xla encoding (2-bit H source + E/F
@@ -410,7 +360,9 @@ def _dirs_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
                     gap_extend, interpret):
     assert N % NC == 0, (N, NC)
     n_chunks = N // NC
-    kernel = _make_band_dirs_kernel(NC, Ws, LW, BT, n_chunks, D,
+    # (the dirs kernel writes its outputs every chunk — no last-chunk
+    # epilogue, so it does not need n_chunks)
+    kernel = _make_band_dirs_kernel(NC, Ws, LW, BT, D,
                                     gap_first, gap_extend)
     dirs, best, bestj = pl.pallas_call(
         kernel,
@@ -476,6 +428,29 @@ def sw_band_align_device(q, s, d_rows, subst_ext8, D: int,
                            int(gap_first), int(gap_extend), interpret)
 
 
+def _pad_host_inputs(q, s, d_rows, N: int, Bp: int, pad_rank: int,
+                     interpret: bool):
+    """Shared host preamble of the score/align pallas entry points: pad
+    ranks to (Bp, N) with PAD, pad d_rows with the -1 sentinel (wmin
+    becomes D+1 — no lane ever in band, so batch-padding rows score 0
+    AND never hold an X-drop tile alive), and pick the device_put
+    (interpret mode pins to CPU per the axon trap, CLAUDE.md)."""
+    B, Mq = q.shape
+    Ns = s.shape[1]
+    qp = np.full((Bp, N), pad_rank, dtype=np.int32)
+    qp[:B, :Mq] = q
+    sp = np.full((Bp, N), pad_rank, dtype=np.int32)
+    sp[:B, :Ns] = s
+    dr = np.full(Bp, -1, dtype=np.int32)
+    dr[:B] = d_rows
+    if interpret:
+        dev = jax.devices("cpu")[0]
+        put = functools.partial(jax.device_put, device=dev)
+    else:
+        put = jnp.asarray
+    return qp, sp, dr, put
+
+
 def sw_band_align_pallas(q: np.ndarray, s: np.ndarray, d_rows: np.ndarray,
                          subst_ext8, gap_first: int, gap_extend: int,
                          interpret: bool = False):
@@ -493,18 +468,8 @@ def sw_band_align_pallas(q: np.ndarray, s: np.ndarray, d_rows: np.ndarray,
     BROWS = BT * P
     Bp = _ceil(max(B, 1), BROWS)
 
-    qp = np.full((Bp, N), pad_rank, dtype=np.int32)
-    qp[:B, :Mq] = q
-    sp = np.full((Bp, N), pad_rank, dtype=np.int32)
-    sp[:B, :Ns] = s
-    dr = np.zeros(Bp, dtype=np.int32)
-    dr[:B] = d_rows
-
-    if interpret:
-        dev = jax.devices("cpu")[0]
-        put = functools.partial(jax.device_put, device=dev)
-    else:
-        put = jnp.asarray
+    qp, sp, dr, put = _pad_host_inputs(q, s, d_rows, N, Bp, pad_rank,
+                                       interpret)
     dirs, best, bestj = sw_band_align_device(
         put(qp), put(sp), put(dr), put(np.asarray(subst_ext8)), D,
         gap_first, gap_extend, interpret, bt=BT)
@@ -742,8 +707,9 @@ def _score_band_lane(subb, wmin, n_tiles, N, Ws, LW, BT, NC, D, gap_first,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024))),
     )(subb, wmin)
-    # per-row best: reduce each pack's Ws lanes (dead lanes dropped)
-    P = max(1, 128 // Ws) if Ws <= 128 else 1
+    # per-row best: reduce each pack's Ws lanes (dead lanes dropped);
+    # P from the one source of truth for the packing rule
+    _, P, _, _ = _lane_geometry(D)
     return out[:, :, :P * Ws].reshape(n_tiles, BT, P, Ws).max(axis=3)
 
 
@@ -929,18 +895,8 @@ def sw_band_score_pallas(q: np.ndarray, s: np.ndarray, d_rows: np.ndarray,
     N, W, BROWS, _, _ = _plan(Ns, D)
     Bp = _ceil(max(B, 1), BROWS)
 
-    qp = np.full((Bp, N), pad_rank, dtype=np.int32)
-    qp[:B, :Mq] = q
-    sp = np.full((Bp, N), pad_rank, dtype=np.int32)
-    sp[:B, :Ns] = s
-    dr = np.zeros(Bp, dtype=np.int32)
-    dr[:B] = d_rows
-
-    if interpret:
-        dev = jax.devices("cpu")[0]
-        put = functools.partial(jax.device_put, device=dev)
-    else:
-        put = jnp.asarray
+    qp, sp, dr, put = _pad_host_inputs(q, s, d_rows, N, Bp, pad_rank,
+                                       interpret)
     out = sw_band_score_device(put(qp), put(sp), put(dr),
                                put(np.asarray(subst_ext8)), D,
                                gap_first, gap_extend, interpret)

@@ -597,10 +597,12 @@ def sw_scores_device(m: MatchBatch, d_trans_q, d_trans_sbj, d_sbj_offsets,
             out[:len(idxs)] = a[idxs]
             return jnp.asarray(out)
 
+        # d_row = -1 sentinel on batch-padding rows: no in-band lane, so
+        # pad rows score 0 AND never hold an X-drop tile alive
         out = _device_score_bucket(
             d_trans_q, d_trans_sbj, d_sbj_offsets, d_sbj_lens,
             pad_i32(m.qry_id), pad_i32(m.qry_start), pad_i32(qlen),
-            pad_i32(m.subj_id), pad_i32(m.d_lo), pad_i32(d_row),
+            pad_i32(m.subj_id), pad_i32(m.d_lo), pad_i32(d_row, fill=-1),
             jnp.asarray(e8_rev if r else e8_fwd),
             N, dbk, int(gap_first), int(gap_extend))
         pending.append((idxs, out))

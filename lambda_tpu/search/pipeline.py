@@ -473,6 +473,9 @@ class SearchContext:
             arrs = {k: np.zeros((Qm, Dm, Bp), dtype=np.int32)
                     for k in ("qry_id", "qry_start", "qry_len", "subj_id",
                               "d_lo", "d_row")}
+            # slot-padding rows: d_row = -1 sentinel (no in-band lane —
+            # score 0, and never holds an X-drop tile alive)
+            arrs["d_row"][:] = -1
             slot = np.zeros((Qm, Dm), dtype=np.int64)
             places = np.zeros((len(idxs), 3), dtype=np.int64)
             for k2, i in enumerate(idxs):

@@ -429,3 +429,17 @@ def test_xdrop_xla_trough_case():
         jnp.asarray(d), jnp.asarray(np.array([16], np.int32)), 10000))
     assert int(got2[0]) == sw_band.sw_band_reference(
         q[0], s[0], 0, subst, -12, -1) == 150
+
+
+def test_plan_column_padding_is_tight():
+    """_plan must not inflate N beyond the NC chunk rounding: the
+    retired MXU stride-shear image was the only consumer of 512-block
+    rounding, which cost up to ~1.8x DP work and image HBM on windows
+    past 512 columns (e.g. the (qlen 512, band 39) bucket)."""
+    from lambda_tpu.ops import sw_band
+
+    for Ns, D in ((551, 39), (1063, 39), (783, 15), (290, 34)):
+        N, W, BROWS, NC, JB = sw_band._plan(Ns, D)
+        assert N % NC == 0
+        assert N - max(Ns, W) < NC + 8, (Ns, D, N, NC)
+        assert JB == N
