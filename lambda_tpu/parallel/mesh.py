@@ -425,6 +425,14 @@ def make_sharded_seeder(mesh: Mesh, fused):
     def local(keys, pos, frame, offsets, lengths, trans, red,
               red_q, qlens, slot_frame, slot_begin, slot_rem, hits0,
               trans_q, subst_fwd, subst_rev):
+        # slot_frame values are BATCH-GLOBAL query-frame row ids while
+        # red_q/qlens/trans_q here are the shard-LOCAL blocks: rebase to
+        # local ids (the host adds q_base back, pipeline._sharded_collect).
+        # Without this every query on q-shard >= 1 gathers a clamped
+        # padding row and silently loses all matches.
+        q_base = jax.lax.axis_index("q") * red_q.shape[0]
+        slot_frame = jnp.where(slot_frame >= 0,
+                               slot_frame - q_base, slot_frame)
         res = fused(keys[0], red_q, qlens,
                     slot_frame, slot_begin, slot_rem, hits0,
                     pos[0], frame[0], offsets[0], lengths[0],

@@ -183,6 +183,20 @@ def _bucket_d(n: int) -> int:
     return int(-(-(n + 1) // 8) * 8) - 1
 
 
+def bucket_groups(qlen, d_row, rev) -> dict:
+    """Group match indices by padded (qlen bucket, band bucket, rev
+    matrix) shape class — the ONE definition of the extension dispatch
+    key, shared by the host/device bucketed paths (extend) and the
+    sharded mesh path (pipeline._sharded_scores) so padding/bucketing
+    changes cannot silently diverge between them."""
+    groups: dict = {}
+    for i in range(len(qlen)):
+        groups.setdefault(
+            (_bucket(int(qlen[i])), _bucket_d(int(d_row[i])),
+             bool(rev[i])), []).append(i)
+    return groups
+
+
 def sw_extend_scores(m: MatchBatch, q_frames: list[np.ndarray],
                      s_window: "SubjectWindows", subst_ext_fwd: np.ndarray,
                      subst_ext_rev: np.ndarray, gap_first: int, gap_extend: int,
@@ -342,15 +356,9 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
             kw.update(nc=ncs, x_drop=sw_band._XDROP)
         return native.sw_score_batch(*args, **kw), traces
 
-    qb = np.array([_bucket(x) for x in qlen])
-    db = np.array([_bucket_d(x) for x in d_row])
     # bisulfite: odd subject frames use the reverse matrix
     rev = (m.subj_id % 2 == 1) if bs_split else np.zeros(n, dtype=bool)
-
-    group_keys = {}
-    for i in range(n):
-        group_keys.setdefault((int(qb[i]), int(db[i]), bool(rev[i])),
-                              []).append(i)
+    group_keys = bucket_groups(qlen, d_row, rev)
 
     use_pallas = pallas_mode
     if use_pallas:
@@ -581,11 +589,7 @@ def sw_scores_device(m: MatchBatch, d_trans_q, d_trans_sbj, d_sbj_offsets,
         return scores
     qlen, d_row, wlen = _ext_geometry(m)
     rev = (m.subj_id % 2 == 1) if bs_split else np.zeros(n, dtype=bool)
-    group_keys: dict = {}
-    for i in range(n):
-        group_keys.setdefault(
-            (_bucket(int(qlen[i])), _bucket_d(int(d_row[i])), bool(rev[i])),
-            []).append(i)
+    group_keys = bucket_groups(qlen, d_row, rev)
     pending = []          # dispatch ALL buckets first, then sync once
     for (qbk, dbk, r), idxs in _fuse_dispatch_groups(group_keys):
         N, W, BTL, _, _ = sw_band._plan(qbk + dbk, dbk)

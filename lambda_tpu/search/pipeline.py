@@ -151,11 +151,36 @@ class SearchContext:
                                "(query batches are bucketed in multiples "
                                "of 16).")
         # device coordinates are int32; a single resident image is limited
-        # to 2^31 translated characters — shard bigger databases
-        if idx.db_total_length // self.db_shards >= 2 ** 31:
+        # to 2^31 translated characters per SHARD.  Shards split subjects
+        # by COUNT (np.array_split — mesh.shard_loaded_index and the
+        # mkindex --shards bounds), so bound the MAX per-shard length,
+        # not the average: one huge subject can overflow its shard while
+        # the mean stays under the limit.
+        if self.db_shards <= 1:
+            max_shard_len = int(idx.db_total_length)
+        elif idx.shard_subj_bounds is not None:
+            b = np.asarray(idx.shard_subj_bounds, dtype=np.int64)
+            tl = np.asarray(idx.trans_lengths, dtype=np.int64)
+            fps = idx.sbj_num_frames
+            cum = np.zeros(len(tl) + 1, np.int64)
+            np.cumsum(tl, out=cum[1:])
+            fb = (b * fps).astype(np.int64)
+            max_shard_len = int(np.max(cum[fb[1:]] - cum[fb[:-1]])) \
+                if len(b) > 1 else int(idx.db_total_length)
+        else:
+            tl = np.asarray(idx.trans_lengths, dtype=np.int64)
+            fps = idx.sbj_num_frames
+            per_subj = tl.reshape(-1, fps).sum(axis=1)
+            groups = np.array_split(np.arange(len(per_subj)),
+                                    self.db_shards)
+            max_shard_len = max(
+                (int(per_subj[g].sum()) for g in groups if len(g)),
+                default=0)
+        if max_shard_len >= 2 ** 31:
             raise RuntimeError(
-                "database exceeds 2^31 translated characters per device "
-                "shard; increase --db-shards (or split the database).")
+                "database exceeds 2^31 translated characters on at least "
+                "one device shard; increase --db-shards (or split the "
+                "database).")
         self._check_device_memory(opt)
         if self.db_shards * self.q_shards == 1:
             kg = idx.get_kmer(allow_partial=self.shard_subset is not None)
@@ -345,9 +370,11 @@ class SearchContext:
         """Regenerate one translated frame of a query (used at output time
         for alignment display / SAM).  Frames are cached for the last
         query: m0/SAM emit one row per match."""
-        key = id(q_seq)
-        if getattr(self, "_qf_cache_key", None) != key:
-            self._qf_cache_key = key
+        # key the cache on the ARRAY OBJECT (strong reference), not a
+        # bare id(): CPython reuses freed addresses, so an id key could
+        # silently serve a previous query's frames to a later one
+        if getattr(self, "_qf_cache_key", None) is not q_seq:
+            self._qf_cache_key = q_seq
             self._qf_cache = fr.query_trans_frames(
                 [q_seq], self.qry_orig_alph, self.idx.trans_alph,
                 self.idx.red_alph, self.opt.genetic_code)
@@ -456,11 +483,7 @@ class SearchContext:
         rev = (m.subj_id % 2 == 1) if self.bs_mode \
             else np.zeros(n, dtype=bool)
 
-        groups: dict = {}
-        for i in range(n):
-            groups.setdefault(
-                (extend._bucket(int(qlen[i])), extend._bucket_d(int(d_row[i])),
-                 bool(rev[i])), []).append(i)
+        groups = extend.bucket_groups(qlen, d_row, rev)
         pending = []          # dispatch ALL shape classes, then sync once
         for (qbk, dbk, r), idxs in groups.items():
             idxs = np.asarray(idxs)
@@ -531,9 +554,12 @@ class SearchContext:
         # cfg for the seed schedule (budget-independent)
         cfg, _ = self.seeder_for(so)
 
-        # pad the query list to a bucketed count so jit shapes are reused
+        # pad the query list to a bucketed count so jit shapes are reused.
+        # Past the largest bucket _bucket returns n itself — force the
+        # multiple of 16 the q-shard specs and the whole-query frame
+        # grouping rely on (the __init__ guard promises it)
         n_real = len(qry_seqs)
-        Q = extend._bucket(max(n_real, 1))
+        Q = -(-extend._bucket(max(n_real, 1)) // 16) * 16
         qry_seqs = list(qry_seqs) + [np.zeros(0, np.uint8)] * (Q - n_real)
 
         trans = fr.query_trans_frames(qry_seqs, self.qry_orig_alph,
@@ -622,6 +648,21 @@ class SearchContext:
         # accepting truncation.
         while True:
             if self.mesh is not None:
+                # stats-only transfer decides the retry (same policy as
+                # the unsharded branch below): pulling the full (Qm, Dm,
+                # Hn) hit payload just to discard it on overflow would
+                # pay the dominant D2H twice on remote links
+                with stats.timed("time_locate"):
+                    st_scal = [np.asarray(o) for o in sd.outs[7:]]
+                st2 = dict(hits_located=int(st_scal[0].sum()),
+                           hits_overflow=int(st_scal[1].sum()),
+                           failed_prescore=int(st_scal[2].sum()),
+                           cursors_overflow=int(st_scal[3].sum()))
+                if (st2["hits_overflow"] or st2["cursors_overflow"]) \
+                        and sd.scale < 8:
+                    sd.scale *= 2
+                    self._seed_device_call(sd, stats)
+                    continue
                 hits, st2 = self._sharded_collect(sd, stats)
             else:
                 res2 = sd.res2
@@ -988,17 +1029,20 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
     def finish_batch(batch_ids, batch_seqs, sd):
         res1 = ctx.collect_batch(sd, stats)
         if opt.iterative_search:
+            # phase-2 the phase-1 losers, then write EVERYTHING in query
+            # order: writing phase-1 winners eagerly would make the
+            # output byte order depend on --query-batch (the repo's
+            # batch-size-invariance guarantee covers iterative mode too)
             successful = set(q for q, ms in res1.items() if ms)
-            for q in sorted(successful):
-                write_query_records(batch_ids[q], batch_seqs[q], res1[q])
             remaining = [q for q in range(len(batch_seqs))
                          if q not in successful]
             if remaining:
                 res2 = ctx.process_batch([batch_seqs[q] for q in remaining],
                                          opt.search_opts, stats)
-                for qi, ms in sorted(res2.items()):
-                    write_query_records(batch_ids[remaining[qi]],
-                                        batch_seqs[remaining[qi]], ms)
+                for qi, ms in res2.items():
+                    res1[remaining[qi]] = ms
+            for q, ms in sorted(res1.items()):
+                write_query_records(batch_ids[q], batch_seqs[q], ms)
         else:
             for q, ms in sorted(res1.items()):
                 write_query_records(batch_ids[q], batch_seqs[q], ms)
@@ -1014,19 +1058,23 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
     # and outputs are written in order (LAMBDA_SEED_PREFETCH=0 disables).
     prefetch = os.environ.get("LAMBDA_SEED_PREFETCH", "1") != "0"
     pending = None
-    for batch_ids, batch_seqs in batches():
-        sd = ctx.dispatch_seeding(batch_seqs, so_first, stats)
+    try:
+        for batch_ids, batch_seqs in batches():
+            sd = ctx.dispatch_seeding(batch_seqs, so_first, stats)
+            if pending is not None:
+                finish_batch(*pending)
+            pending = (batch_ids, batch_seqs, sd)
+            if not prefetch:
+                finish_batch(*pending)
+                pending = None
         if pending is not None:
             finish_batch(*pending)
-        pending = (batch_ids, batch_seqs, sd)
-        if not prefetch:
-            finish_batch(*pending)
-            pending = None
-    if pending is not None:
-        finish_batch(*pending)
+    finally:
+        # flush the profiler trace even when a batch raises (the
+        # session's data would otherwise be lost); the footer is only
+        # written on success — a truncated output must not look complete
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
     progress.finish()
-    if profiler_cm is not None:
-        profiler_cm.__exit__(None, None, None)
-
     writer.write_footer()
     return stats

@@ -257,7 +257,10 @@ def make_seeder(cfg: SeedConfig):
             def _g(x):
                 return jax.lax.psum(x, cfg.psum_axis) if cfg.psum_axis else x
 
-            gcount = _g(count)
+            # pigeonhole mode consumes no global counts in stage 1 (the
+            # abundance/adaptive decisions run in stage 2 on verified
+            # whole-seed counts) — skip the per-slot cross-device psum
+            gcount = count if pigeon else _g(count)
             seed_len = jnp.full((Q, V), k, jnp.int32)
 
             if cfg.adaptive and cfg.ext_max > 0 and not pigeon:
@@ -331,11 +334,14 @@ def make_seeder(cfg: SeedConfig):
 
             # deviation (documented above): located hits, not
             # prescore-passing; GLOBAL located counts feed the
-            # desiredOccs heuristic so it is shard-invariant
-            gkeep = (gcount > 0) if pigeon \
-                else (gcount > 0) & (gcount <= cfg.occ_cap)
-            g_kept = jnp.where(gkeep, gcount, 0)
-            hits_this_seq = hits_this_seq + g_kept.sum(axis=1)
+            # desiredOccs heuristic so it is shard-invariant.  (In
+            # pigeonhole mode the carry is never read — stage 2 runs
+            # its own hitsThisSeq walk on verified counts — so skip
+            # the dead accumulation.)
+            if not pigeon:
+                gkeep = (gcount > 0) & (gcount <= cfg.occ_cap)
+                g_kept = jnp.where(gkeep, gcount, 0)
+                hits_this_seq = hits_this_seq + g_kept.sum(axis=1)
 
             out = dict(lo=lo, count=kept_count, seed_len=seed_len,
                        frame=jnp.broadcast_to(gs[:, None], (Q, V)),
@@ -373,7 +379,17 @@ def make_seeder(cfg: SeedConfig):
         C = cur_lo.shape[0]
         Hn = cfg.max_hits
 
-        cum = jnp.cumsum(cur_count)          # (C,)
+        # clamp per-cursor counts to Hn before the int32 cumsum: hits
+        # past Hn are truncated anyway and for every valid hit j < Hn
+        # the (cursor_of, occ) mapping is provably unchanged, while
+        # uncapped pigeonhole counts (billions of occurrences of a
+        # 3-char chunk on a huge db) could overflow the cumsum, making
+        # `total` wrap negative — all-false hit_valid AND a zero
+        # hits_overflow (no budget retry): silent empty results.  The
+        # overflow stat sums in float32 so the retry still sees the
+        # real total.
+        total_f = jnp.sum(cur_count.astype(jnp.float32))
+        cum = jnp.cumsum(jnp.minimum(cur_count, Hn))          # (C,)
         total = cum[-1]
         # hit j belongs to cursor searchsorted(cum, j, 'right')
         j = jnp.arange(Hn, dtype=jnp.int32)
@@ -554,10 +570,12 @@ def make_seeder(cfg: SeedConfig):
             sub = jnp.where(in_win, sub, 0)
 
             def kadane(i, st):
+                # sub is already zeroed past eff_len, so run is constant
+                # there and max(best, run) is a no-op — no window check
+                # (or dynamic r[i] slice) needed in the loop body
                 run, best = st
-                x = sub[:, i]
-                run = jnp.maximum(run + x, 0)
-                best = jnp.maximum(best, jnp.where(r[i] < eff_len, run, best))
+                run = jnp.maximum(run + sub[:, i], 0)
+                best = jnp.maximum(best, run)
                 return run, best
 
             run0 = jnp.zeros(Hn, jnp.int32)
@@ -566,14 +584,23 @@ def make_seeder(cfg: SeedConfig):
                                        if cfg.psum_axis else ()):
                 run0 = jax.lax.pcast(run0, ax, to="varying")
             _, max_score = jax.lax.fori_loop(0, EFF, kadane, (run0, run0))
-            thresh = (cfg.pre_scoring_thresh * eff_len).astype(jnp.int32)
+            # threshold truncated from DOUBLE like the reference's
+            # seedLooksPromising (search_algo.hpp:966): a float32
+            # multiply differs by 1 at specific lengths (e.g.
+            # float32(1.4)*45 truncates to 63, double to 62) — use a
+            # host-precomputed int32 table indexed by eff_len
+            thresh_tbl = jnp.asarray(np.array(
+                [int(float(cfg.pre_scoring_thresh) * L)
+                 for L in range(EFF + 1)], dtype=np.int32))
+            thresh = thresh_tbl[jnp.clip(eff_len, 0, EFF)]
             passed = hit_valid & (max_score >= thresh)
         else:
             passed = hit_valid
 
         stats = dict(
             hits_located=jnp.sum(hit_valid.astype(jnp.int32)),
-            hits_overflow=jnp.maximum(total - Hn, 0),
+            hits_overflow=jnp.clip(total_f - Hn, 0, 2 ** 30)
+            .astype(jnp.int32),
             failed_prescore=jnp.sum((hit_valid & ~passed).astype(jnp.int32)),
         )
         return dict(q_frame=qframe, q_begin=qbegin, seed_len=slen_seed,

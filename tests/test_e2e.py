@@ -471,3 +471,42 @@ def test_edge_inputs_empty_tiny_alln(protein_db, tmp_path):
                     "-o", str(out), "-v", "0")
         assert r.returncode == 0, (name, r.stderr)
         assert out.read_text() == "", name
+
+
+def test_query_batch_size_invariance_iterative(tmp_path):
+    """Output bytes must not depend on --query-batch (CLAUDE.md
+    determinism contract) INCLUDING in iterative mode: phase-1 winners
+    are buffered until the batch's phase-2 survivors are in, then
+    everything is written in query order — eager phase-1 writes would
+    interleave differently per batch size."""
+    from lambda_tpu.io import fasta
+
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("GYRA_ECOLI", GYRA.encode())])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+
+    # alternate phase-1 winners (exact fragments) with phase-2-only
+    # queries (a disruptive substitution every 8 residues: no exact
+    # reduced 10-mer for phase 1; phase 2's delta-1 11-mers still hit)
+    recs = []
+    for i in range(6):
+        frag = list(GYRA[40 * i:40 * i + 96])
+        if i % 2:
+            for p in range(0, 96, 8):
+                frag[p] = "W" if frag[p] != "W" else "P"
+        recs.append(fasta.SeqRecord(f"q{i}", "".join(frag).encode()))
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, recs)
+
+    outs = {}
+    for bs in (2, 6):
+        out = tmp_path / f"bs{bs}.m8"
+        r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o",
+                    str(out), "-v", "0", "--query-batch", str(bs))
+        assert r.returncode == 0, r.stderr
+        outs[bs] = out.read_text()
+    assert outs[2] == outs[6]
+    # the scenario is real: both query classes produce output
+    assert "q0\t" in outs[2] and "q1\t" in outs[2]
