@@ -183,38 +183,47 @@ def _bucket_d(n: int) -> int:
     return int(-(-(n + 1) // 8) * 8) - 1
 
 
+_QB_ARR = np.asarray(_BUCKETS, dtype=np.int64)
+_DB_ARR = np.asarray(_D_BUCKETS, dtype=np.int64)
+
+
+def _bucket_codes(qlen, d_row):
+    """Vectorized (_bucket, _bucket_d) over match arrays (the scalar
+    helpers are Python-loop hot-path poison at 10k+ matches)."""
+    qlen = np.asarray(qlen, dtype=np.int64)
+    d_row = np.asarray(d_row, dtype=np.int64)
+    qi = np.searchsorted(_QB_ARR, qlen, side="left")
+    qb = np.where(qi < len(_QB_ARR), _QB_ARR[np.minimum(qi, len(_QB_ARR) - 1)],
+                  qlen)
+    di = np.searchsorted(_DB_ARR, d_row, side="left")
+    db_fb = (-(-(d_row + 1) // 8) * 8) - 1
+    db = np.where(di < len(_DB_ARR), _DB_ARR[np.minimum(di, len(_DB_ARR) - 1)],
+                  db_fb)
+    return qb.astype(np.int64), db.astype(np.int64)
+
+
 def bucket_groups(qlen, d_row, rev) -> dict:
     """Group match indices by padded (qlen bucket, band bucket, rev
     matrix) shape class — the ONE definition of the extension dispatch
     key, shared by the host/device bucketed paths (extend) and the
     sharded mesh path (pipeline._sharded_scores) so padding/bucketing
-    changes cannot silently diverge between them."""
+    changes cannot silently diverge between them.  Fully vectorized
+    (searchsorted + argsort); keys are python ints/bool."""
+    n = len(qlen)
+    if n == 0:
+        return {}
+    qb, db = _bucket_codes(qlen, d_row)
+    rev = np.asarray(rev).astype(np.int64)
+    key = (qb << 33) | (db << 1) | rev
+    order = np.argsort(key, kind="stable")
+    uniq, starts = np.unique(key[order], return_index=True)
     groups: dict = {}
-    for i in range(len(qlen)):
-        groups.setdefault(
-            (_bucket(int(qlen[i])), _bucket_d(int(d_row[i])),
-             bool(rev[i])), []).append(i)
+    bounds = list(starts) + [n]
+    for u, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
+        i0 = order[lo]
+        groups[(int(qb[i0]), int(db[i0]), bool(rev[i0]))] = \
+            order[lo:hi].tolist()
     return groups
-
-
-def sw_extend_scores(m: MatchBatch, q_frames: list[np.ndarray],
-                     s_window: "SubjectWindows", subst_ext_fwd: np.ndarray,
-                     subst_ext_rev: np.ndarray, gap_first: int, gap_extend: int,
-                     bs_split: bool) -> np.ndarray:
-    """Pass 1: scores for all matches.  Returns int array of raw scores."""
-    return _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
-                         gap_first, gap_extend, bs_split, with_trace=False)[0]
-
-
-def sw_extend_traceback(m: MatchBatch, q_frames, s_window,
-                        subst_ext_fwd, subst_ext_rev, gap_first, gap_extend,
-                        bs_split: bool):
-    """Pass 2: scores + alignment ops for all matches.
-
-    Returns (scores, list of (q_start, s_start, ops)) in match order, with
-    coordinates relative to (qry_start, subj_start) of each match."""
-    return _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
-                         gap_first, gap_extend, bs_split, with_trace=True)
 
 
 def trace_pass(m: MatchBatch, q_frames, s_window, subst_ext_fwd,
@@ -332,8 +341,12 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
     from .. import native
     use_native = native.get_lib() is not None
     pallas_mode = _use_pallas()
+    # LAMBDA_SW_TRACE=device must actually force the device-dirs
+    # traceback (its whole purpose is bypassing the native walker)
+    force_dev_trace = os.environ.get("LAMBDA_SW_TRACE") == "device"
     if use_native and not pallas_mode and \
-            (with_trace or _score_kernel() == "native"):
+            ((with_trace and not force_dev_trace)
+             or (not with_trace and _score_kernel() == "native")):
         # host path (OpenMP C++, banded, ragged): the traceback pass
         # (search_algo.hpp:1296 equivalent) or the score pass on CPU
         # backends.  Identical banded semantics to the device kernels.
@@ -348,11 +361,14 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
         if sw_band._XDROP:
             # replicate the lane kernel's chunk-granular X-drop with each
             # match's own bucket-plan chunk size, so CPU (native) and TPU
-            # (pallas) backends score pass 1 identically
-            ncs = np.array(
-                [sw_band._plan(_bucket(int(qlen[i])) + _bucket_d(int(d_row[i])),
-                               _bucket_d(int(d_row[i])))[3]
-                 for i in range(n)], dtype=np.int32)
+            # (pallas) backends score pass 1 identically (nc depends only
+            # on the (qbk, dbk) bucket pair — memoized, not per-match)
+            qb, db = _bucket_codes(qlen, d_row)
+            nc_of = {pair: sw_band._plan(int(pair[0] + pair[1]),
+                                         int(pair[1]))[3]
+                     for pair in set(zip(qb.tolist(), db.tolist()))}
+            ncs = np.array([nc_of[p] for p in zip(qb.tolist(), db.tolist())],
+                           dtype=np.int32)
             kw.update(nc=ncs, x_drop=sw_band._XDROP)
         return native.sw_score_batch(*args, **kw), traces
 
@@ -373,6 +389,11 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
     for (qbk, dbk, r), idxs in _fuse_dispatch_groups(group_keys):
         B = len(idxs)
         sbk = qbk + dbk
+        if use_pallas:
+            # same banded-image HBM preflight as sw_scores_device —
+            # fusion-merged groups have the widest bands, so this path
+            # can build the largest images of all
+            _warn_image_hbm(B, sw_band._plan(sbk, dbk)[0], dbk)
         qarr = np.full((B, qbk), pad, dtype=np.int32)
         sarr = np.full((B, sbk), pad, dtype=np.int32)
         darr = np.zeros(B, dtype=np.int32)
@@ -576,7 +597,7 @@ def _device_score_bucket(trans_q, trans_sbj, sbj_offsets, sbj_lens,
 
 def sw_scores_device(m: MatchBatch, d_trans_q, d_trans_sbj, d_sbj_offsets,
                      d_sbj_lens, e8_fwd, e8_rev, gap_first, gap_extend,
-                     bs_split: bool) -> np.ndarray | None:
+                     bs_split: bool) -> np.ndarray:
     """Pass-1 banded scores with device-side window gathering.  Matches
     are bucketed by padded (qlen, band) shape class like the host path;
     each bucket is one fused dispatch (gather -> sheared band image ->

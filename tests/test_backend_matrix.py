@@ -28,6 +28,9 @@ COMBOS = [
     {"LAMBDA_SW_KERNEL": "xla"},
     {"LAMBDA_SW_KERNEL": "xla", "LAMBDA_NO_NATIVE": "1"},
     {"LAMBDA_SW_KERNEL": "native", "LAMBDA_NO_NATIVE": "1"},
+    # device-dirs traceback forced WITH the native lib present — the
+    # flag must actually bypass the native walker (round-3 review)
+    {"LAMBDA_SW_KERNEL": "xla", "LAMBDA_SW_TRACE": "device"},
 ]
 
 
