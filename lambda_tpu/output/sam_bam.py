@@ -33,7 +33,11 @@ def build_cigar_one(bm, q_len_orig: int, q_frame_len: int, q_translated: bool,
     """blastMatchOneCigar (search_output.hpp:116-194).  Returns a list of
     (op, count) in final orientation."""
     trans_fac = 3 if q_translated else 1
-    left_frame_clip = max(abs(bm.q_frame_shift) - 1, 0)
+    # frame-offset hard clips exist only for TRANSLATED queries: the
+    # bisulfite frames are strand DUPLICATES (|shift| 2 is not a base
+    # offset, frames.py BS chain) — the reference's unconditional
+    # |shift|-1 (search_output.hpp:127) claims one base too many there
+    left_frame_clip = max(abs(bm.q_frame_shift) - 1, 0) if q_translated else 0
     right_frame_clip = ((q_len_orig - left_frame_clip) % 3) if q_translated else 0
     left_clip = bm.q_start * trans_fac
     right_clip = (q_frame_len - bm.q_end) * trans_fac
@@ -60,8 +64,14 @@ def build_cigar_one(bm, q_len_orig: int, q_frame_len: int, q_translated: bool,
         if right_frame_clip > 0:
             cigar.append(("H", right_frame_clip))
 
-    if bm.q_frame_shift < 0:
-        cigar.reverse()
+    # NO reversal for negative frames (deviation from the reference's
+    # reverse(), search_output.hpp:192): here bm.q_start/ops are
+    # FRAME-space and SEQ is emitted in frame orientation (the
+    # reverse-complemented read, FLAG 0x10), so the frame-order CIGAR
+    # already matches SEQ and POS — reversing would mirror the clips
+    # and ops against the emitted sequence (verified: junk+revcomp
+    # reads produced records whose SEQ did not match the reference at
+    # POS under the reversed CIGAR).
     return _coalesce(cigar)
 
 
@@ -103,9 +113,9 @@ def build_cigar_two(bm, q_len_orig: int, q_frame_len: int, hard_clip: bool):
         if right_frame_clip > 0:
             dna.append(("H", right_frame_clip))
 
-    if bm.q_frame_shift < 0:
-        dna.reverse()
-    # protein cigar is never reversed (search_output.hpp:297)
+    # no reversal for negative frames — same frame-space reasoning as
+    # build_cigar_one (the reference reverses at search_output.hpp:297,
+    # a convention mismatch with our frame-oriented SEQ emission)
     return _coalesce(dna), _coalesce(prot)
 
 
@@ -155,7 +165,6 @@ class SamBamWriter:
                 "tools/merge_m8.")
         self.refs = [i.split(None, 1)[0] if i else i for i in ctx.idx.ids]
         self.ref_lens = [len(s) for s in ctx.idx.seqs]
-        self._prev_seq_key = None
         if bam:
             self.fh = open(path, "wb")
             self._bgzf_buf = b""
@@ -308,10 +317,13 @@ class SamBamWriter:
         t = self.tags
         if "ae" in t:
             out.append(("ae", float(f"{bm.e_value:.6g}"), "f"))
+        # full-width scores (deviation from the reference's uint8/uint16
+        # casts, search_output.hpp:623 — 'ar' wraps at raw score 255
+        # there, i.e. for exactly the best hits)
         if "AS" in t:
-            out.append(("AS", int(bm.bit_score) & 0xFFFF, "S"))
+            out.append(("AS", int(bm.bit_score), "I"))
         if "ar" in t:
-            out.append(("ar", bm.raw_score & 0xFF, "C"))
+            out.append(("ar", int(bm.raw_score), "I"))
         if "ai" in t:
             out.append(("ai", int(bm.identity) & 0xFF, "C"))
         if "ap" in t:
@@ -360,6 +372,14 @@ class SamBamWriter:
 
     def _write_bam_record(self, qname, flag, ref_id, pos0, cigar, seq, tags):
         name = qname.encode() + b"\x00"
+        if len(name) > 255:
+            # BAM packs l_read_name as uint8 (and the SAM spec caps
+            # QNAME at 254 chars) — fail with the remedy instead of an
+            # opaque struct.error after all compute is done
+            raise RuntimeError(
+                f"query id '{qname[:40]}...' is {len(name) - 1} chars; "
+                "BAM limits read names to 254 (rebuild/run with "
+                "--truncate-ids or shorten the FASTA ids)")
         n_cigar = len(cigar)
         seq_b = b""
         l_seq = 0

@@ -830,7 +830,7 @@ class SearchContext:
                     self.s_windows.concat[
                         self.idx.trans_offsets[subj_id]:
                         self.idx.trans_offsets[subj_id + 1]],
-                    sch.matrix, gf, ge, self.bs_mode)
+                    sch.matrix, self.bs_mode)
 
             # %identity filter (search_algo.hpp:1310-1315)
             if bm.identity < opt.id_cutoff:
@@ -950,9 +950,16 @@ def run_search(opt: opt_mod.LambdaOptions) -> StatsHolder:
             _write_query_records(q_global_id, q_seq, matches)
 
     def _write_query_records(q_global_id: str, q_seq: np.ndarray, matches: list):
-        matches = records.sort_dedup_cutoff(matches, opt.max_matches, stats)
+        # gate + qrysWithHit on PRE-cutoff matches, exactly like the
+        # reference (_writeRecord, search_algo.hpp:824-826, counts
+        # before the resize).  Observationally equivalent today — the
+        # abundance cutoff (occ_cap = 10*maxMatches) means -n 0 locates
+        # nothing in both implementations, and -n >= 1 can't empty the
+        # list — but the literal ordering keeps the stats semantics
+        # aligned if either cutoff changes.
         if not matches:
             return
+        matches = records.sort_dedup_cutoff(matches, opt.max_matches, stats)
         stats.qrys_with_hit += 1
         stats.pairs += len({m.n_s_id for m in matches})
         lca_tax, lca_name = 0, ""

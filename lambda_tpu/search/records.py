@@ -85,20 +85,29 @@ def set_frames(qry_id: int, subj_id: int, program, red_alph: str):
 
 def compute_alignment_stats(bm: BlastMatch, q_frame: np.ndarray,
                             s_frame: np.ndarray, subst: np.ndarray,
-                            gap_first: int, gap_extend: int,
                             bs_mode: bool) -> None:
     """computeAlignmentStats over the aligned (clipped) region.
 
     Standard mode: match == character equality (SeqAn2 align_stats).
     Bisulfite mode: match == score(c0,c1) == score(c0,c0)
-    (evaluate_bisulfite_alignment.hpp:97)."""
+    (evaluate_bisulfite_alignment.hpp:97).  Gap opens follow the
+    reference's column walk (prev-op state), so unmerged consecutive
+    runs of the same gap op count one open."""
     i, j = bm.q_start, bm.s_start
     matches = mismatches = positives = 0
     gap_opens = gap_ext = insertions = deletions = 0
     length = 0
+    prev = ""
     for op, run in bm.ops:
         length += run
         if op == "M":
+            if i + run > len(q_frame) or j + run > len(s_frame):
+                # a clean bounds failure instead of numpy slice clamping
+                # silently miscounting pident/mismatches
+                raise IndexError(
+                    f"alignment ops overrun the frames: M-run to "
+                    f"q[{i}:{i + run}] of {len(q_frame)} / "
+                    f"s[{j}:{j + run}] of {len(s_frame)}")
             c0 = np.asarray(q_frame[i : i + run], dtype=np.int64)
             c1 = np.asarray(s_frame[j : j + run], dtype=np.int64)
             sc = subst[c0, c1]
@@ -113,15 +122,22 @@ def compute_alignment_stats(bm: BlastMatch, q_frame: np.ndarray,
             i += run
             j += run
         elif op == "D":  # gap in query row
-            gap_opens += 1
-            gap_ext += run - 1
+            if prev == "D":
+                gap_ext += run
+            else:
+                gap_opens += 1
+                gap_ext += run - 1
             deletions += run
             j += run
         else:  # 'I' gap in subject row
-            gap_opens += 1
-            gap_ext += run - 1
+            if prev == "I":
+                gap_ext += run
+            else:
+                gap_opens += 1
+                gap_ext += run - 1
             insertions += run
             i += run
+        prev = op
     bm.align_length = length
     bm.num_matches = matches
     bm.num_mismatches = mismatches

@@ -175,3 +175,48 @@ def test_sam_pos_negative_subject_frame(tmp_path):
     # exact coordinate: rc-frame -1, protein offset 20 ->
     # pos0 = L - (3*100 + 1 - 1) = 480 - 300 = 180 -> 1-based 181
     assert pos == ln - 3 * 100 + 1
+
+
+def test_sam_minus_strand_asymmetric_clip_consistent(tmp_path):
+    """Minus-strand SAM record with UNEQUAL clips must be internally
+    consistent: SEQ (frame orientation, FLAG 0x10) advanced by the
+    CIGAR's leading soft clip matches the reference at POS.  The
+    reference reverses minus-frame CIGARs (search_output.hpp:192);
+    under this codebase's frame-space ops that mirrored the clips onto
+    the wrong end (PARITY.md deviation 4b, round-3 review)."""
+    import re
+
+    import numpy as np
+
+    from tests.test_e2e import revcomp
+
+    rng = np.random.default_rng(7)
+    s1 = "".join(rng.choice(list("ACGT"), 240))
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("chr", s1.encode())])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexn", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+    # 10nt junk + revcomp of subject[60:120]: on the minus strand the
+    # junk clip must land on the side that frame orientation dictates
+    read = "ACGTACGTAA" + revcomp(s1[60:120])
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("r1", read.encode())])
+    out = tmp_path / "out.sam"
+    r = run_cli("searchn", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "--sam-bam-clip", "soft", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    recs = [l.split("\t") for l in Path(out).read_text().splitlines()
+            if not l.startswith("@")]
+    assert recs, "no SAM records"
+    r1 = recs[0]
+    assert int(r1[1]) & 0x10, "expected a minus-strand record"
+    pos0 = int(r1[3]) - 1
+    seq = r1[9]
+    lead = re.match(r"(\d+)S", r1[5])
+    lead_s = int(lead.group(1)) if lead else 0
+    m = re.search(r"(\d+)M", r1[5])
+    run = int(m.group(1))
+    # the M-run of SEQ after the leading clip equals the reference
+    assert seq[lead_s:lead_s + run] == s1[pos0:pos0 + run], (
+        r1[5], pos0, seq)

@@ -289,7 +289,7 @@ def test_native_traceback_stats_matches_python(bs_mode):
             q_start=tq0, q_end=0, s_start=ts0, s_end=0,
             raw_score=int(sc[b]), ops=ops)
         records.compute_alignment_stats(bm, q_list[b], s_list[b], subst,
-                                        -7, -2, bs_mode)
+                                        bs_mode)
         want = [bm.align_length, bm.num_matches, bm.num_mismatches,
                 bm.num_positives, bm.num_gap_opens, bm.num_gaps,
                 bm.num_insertions, bm.num_deletions]
@@ -324,3 +324,34 @@ def test_take_rows_and_frame_of_pos():
     want = frame_of_pos[order2].astype(np.uint32)
     got2 = native.take_frame_of_pos(offsets, order2)
     assert (got2 == want).all()
+
+
+def test_alignment_stats_unmerged_runs_and_bounds():
+    """compute_alignment_stats follows the reference's column walk:
+    consecutive unmerged runs of the same gap op count ONE open (1 open
+    + extensions), and an M-run past the frame end raises instead of
+    numpy-clamping into silently wrong pident."""
+    from lambda_tpu.search import records
+
+    subst = np.full((4, 4), -3, dtype=np.int32)
+    np.fill_diagonal(subst, 5)
+    q = np.array([0, 1, 2, 3], dtype=np.uint8)
+    s = np.array([0, 1, 1, 2, 3, 0], dtype=np.uint8)
+
+    def mk(ops):
+        return records.BlastMatch(
+            n_q_id=0, n_s_id=0, q_frame_shift=0, s_frame_shift=0,
+            q_length=4, s_length=6, q_start=0, q_end=0, s_start=0,
+            s_end=0, raw_score=0, ops=ops)
+
+    bm = mk([("M", 2), ("D", 1), ("D", 1), ("M", 2)])
+    records.compute_alignment_stats(bm, q, s, subst, False)
+    assert bm.num_gap_opens == 1          # ref column walk: 1 open + 1 ext
+    assert bm.num_gaps == 2
+    assert bm.align_length == 6
+
+    bad = mk([("M", 5)])
+    import pytest
+    with pytest.raises(IndexError, match="overrun"):
+        records.compute_alignment_stats(bad, np.zeros(3, np.uint8),
+                                        np.zeros(9, np.uint8), subst, False)
