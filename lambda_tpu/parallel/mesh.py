@@ -15,10 +15,11 @@ is designed here instead of translated:
 * scalar statistics (dbTotalLength for e-values; search_algo.hpp:317-319)
   are a ``psum`` over shards
 
-``sharded_search_step`` is the fused device step (seed -> locate ->
-prescore -> banded-window SW -> top-k merge) used by the multi-chip dry
-run and benchmarks; the CLI pipeline currently drives the single-device
-variants and merges on host (full distributed CLI lands in a later round).
+These are PRODUCTION paths: the CLI pipeline drives
+``shard_loaded_index``/``shard_prebuilt_index``, ``make_sharded_seeder``
+and ``make_sharded_band_scorer`` whenever ``--db-shards``/``--q-shards``
+exceed 1 (pipeline.SearchContext), and ``sharded_search_step`` is the
+fused demo step the multi-chip dry run and benchmarks exercise.
 """
 
 from __future__ import annotations
@@ -56,7 +57,7 @@ def shard_index(red_frames: list[np.ndarray], alphabet_size: int,
     return shards
 
 
-def stack_shards(shards, total_frames: int):
+def stack_shards(shards):
     """Pad each shard's arrays to the max row count and stack into
     (n_shards, ...) arrays ready for jax.device_put with a 'db' sharding.
 
@@ -70,20 +71,14 @@ def stack_shards(shards, total_frames: int):
     pos = np.zeros((n, pmax), dtype=np.int32)
     frame = np.zeros((n, pmax), dtype=np.int32)
     rows = np.zeros((n,), dtype=np.int32)
-    # per-shard frame offset tables, padded to the global frame count + 1
-    offs = np.zeros((n, total_frames + 1), dtype=np.int32)
-    base = np.zeros((n,), dtype=np.int32)
-    for i, (idx, fb, loc_offs) in enumerate(shards):
+    for i, (idx, fb, _loc_offs) in enumerate(shards):
         p = idx.num_positions
         keys[i, :p] = idx.keys
         pos[i, :p] = idx.pos.astype(np.int32)
         # translate local frame id -> global
         frame[i, :p] = idx.frame.astype(np.int32) + fb
         rows[i] = p
-        offs[i, : len(loc_offs)] = loc_offs.astype(np.int32)
-        base[i] = fb
-    return dict(keys=keys, pos=pos, frame=frame, rows=rows,
-                local_offsets=offs, frame_base=base)
+    return dict(keys=keys, pos=pos, frame=frame, rows=rows)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -346,9 +341,6 @@ def make_sharded_band_scorer(mesh: Mesh, N: int, D: int, gap_first: int,
     dry run so the REAL production step is what multichip validates).
     """
     from ..ops import sw_band
-    from ..search import extend as _extend  # noqa: F401  (doc anchor)
-
-    pad_fill = None  # computed from e8 inside
 
     def local(trans_q, trans_sbj, offsets, lengths, qry_id, qry_start,
               qry_len, subj_id, d_lo, d_row, e8):
@@ -413,10 +405,17 @@ def make_sharded_band_scorer(mesh: Mesh, N: int, D: int, gap_first: int,
 
 def make_sharded_seeder(mesh: Mesh, fused):
     """Wrap a seeder's fused program (third element of
-    seeding.make_seeder's result) for a 1-D 'db' mesh: queries replicated,
-    index/subject tensors sharded.  Returns a jitted function producing
-    per-shard hit arrays with a leading 'db' axis (s_frame ids are LOCAL;
-    add the shard's frame base on the host).
+    seeding.make_seeder's result) for a 2-D ('q', 'db') mesh: query
+    inputs sharded over 'q' (whole-query frame groups — pipeline buckets
+    Q to multiples of 16), index/subject tensors over 'db'.  Returns a
+    jitted function producing hit arrays with leading (q, db) axes.
+
+    Id conventions (must stay in sync with pipeline._sharded_collect):
+    slot_frame arrives with BATCH-GLOBAL query-frame ids and is rebased
+    to shard-local ids inside `local` (the host adds q_base back);
+    emitted s_frame ids are shard-LOCAL (the host adds the shard's
+    frame base).  Passing pre-localized slot ids would double-rebase
+    and silently lose every match on q-shards >= 1.
 
     Padded key rows are 0xFFFFFFFF-filled, which sorts after every real
     packed prefix (ranks are stored +1 in the top bits, always < 0xF...),

@@ -21,7 +21,7 @@ def _run(n_q_axis: int, n_db: int, cfg, frames, red_q, trans_q, subst_ext):
     red_frames = [f.astype(np.uint8) for f in frames]
     shards = pmesh.shard_index(red_frames, cfg.alphabet_size, n_db,
                                words=cfg.words)
-    stacked = pmesh.stack_shards(shards, total_frames=len(frames))
+    stacked = pmesh.stack_shards(shards)
 
     smax = max(int(offs[-1]) for (_, _, offs) in shards)
     sbj = np.zeros((n_db, smax), dtype=np.int32)
