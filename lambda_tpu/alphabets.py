@@ -62,11 +62,10 @@ def _char_table(default: int) -> np.ndarray:
     return np.full(256, default, dtype=np.uint8)
 
 
-def _fill(tab: np.ndarray, chars: str, ranks=None) -> np.ndarray:
+def _fill(tab: np.ndarray, chars: str) -> np.ndarray:
     for i, c in enumerate(chars):
-        r = i if ranks is None else ranks[i]
-        tab[ord(c)] = r
-        tab[ord(c.lower())] = r
+        tab[ord(c)] = i
+        tab[ord(c.lower())] = i
     return tab
 
 
@@ -90,9 +89,6 @@ DNA5_RANK_TO_CHAR = np.frombuffer(_DNA5_CHARS.encode(), dtype=np.uint8).copy()
 AA27_RANK_TO_CHAR = np.frombuffer(_AA27_CHARS.encode(), dtype=np.uint8).copy()
 MURPHY10_RANK_TO_CHAR = np.frombuffer(_MURPHY10_CHARS.encode(), dtype=np.uint8).copy()
 LI10_RANK_TO_CHAR = np.frombuffer(_LI10_CHARS.encode(), dtype=np.uint8).copy()
-
-# dna5 -> dna4 plain conversion (N -> A); N-randomization handled separately
-DNA5_TO_DNA4 = np.array([0, 1, 2, 3, 0], dtype=np.uint8)
 
 # ---------------------------------------------------------------------------
 # Amino-acid reductions (biocpp aa10murphy / aa10li conversion semantics)
@@ -135,7 +131,9 @@ REDUCTION_TABLES = {
     (AMINO_ACID, MURPHY10): AA27_TO_MURPHY10,
     (AMINO_ACID, LI10): AA27_TO_LI10,
     (AMINO_ACID, AMINO_ACID): AA27_TO_AA27,
-    (DNA5, DNA4): DNA5_TO_DNA4,  # N-randomization applied separately
+    # dna5 -> dna4 is NOT a table lookup: it requires mt19937
+    # N-randomization (dna5_to_dna4_rand); frames.reduce_frames
+    # special-cases it before consulting this dict.
 }
 
 # ---------------------------------------------------------------------------
@@ -224,6 +222,8 @@ def translate(dna5_ranks: np.ndarray, frame: int, code: int = 1) -> np.ndarray:
     containing 'N' resolve to the amino acid when every expansion agrees
     (biocpp translate semantics, e.g. GCN -> A), else to 'X'.
     """
+    if frame == 0 or not -3 <= frame <= 3:
+        raise ValueError(f"frame must be in {{1,2,3,-1,-2,-3}}, got {frame}")
     tab = GENETIC_CODES_DNA5[code]
     seq = dna5_ranks if frame > 0 else DNA5_COMPLEMENT[dna5_ranks[::-1]]
     off = abs(frame) - 1
@@ -317,7 +317,7 @@ def dna5_to_dna4_rand(seq_ranks: np.ndarray) -> np.ndarray:
     """dna5 -> dna4 with 'N' replaced pseudo-randomly, bit-compatible with the
     reference's views::dna_n_to_random (fresh mt19937{0xDEADBEEF} per
     sequence; i-th N gets the i-th draw % 4)."""
-    out = seq_ranks.astype(np.uint8).copy()
+    out = seq_ranks.astype(np.uint8)  # astype copies; safe to scatter into
     n_mask = out == 4
     num_n = int(n_mask.sum())
     if num_n:

@@ -22,12 +22,13 @@ import numpy as np
 from . import alphabets as ab
 
 
-def _reduce_frames(trans_frames: list[np.ndarray], trans_alph: str,
-                   red_alph: str) -> list[np.ndarray]:
+def reduce_frames(trans_frames: list[np.ndarray], trans_alph: str,
+                  red_alph: str) -> list[np.ndarray]:
     """redView (shared_definitions.hpp:270-281): one reduced frame per
-    translated frame."""
+    translated frame.  Like the reference's zero-copy views, returned
+    frames may alias the inputs — treat all frame arrays as read-only."""
     if trans_alph == red_alph:
-        return [f.copy() for f in trans_frames]
+        return list(trans_frames)
     if trans_alph == ab.AMINO_ACID:
         tab = ab.REDUCTION_TABLES[(ab.AMINO_ACID, red_alph)]
         return [tab[f] for f in trans_frames]
@@ -48,17 +49,20 @@ def subject_trans_frames(orig_seqs: list[np.ndarray], orig_alph: str,
                          genetic_code: int = 1) -> list[np.ndarray]:
     """sbjTransView (shared_definitions.hpp:246-255)."""
     if red_alph == ab.DNA3BS:
+        # views::duplicate (view_duplicate.hpp): both entries alias the
+        # same array — frames are read-only downstream, and the fwd/rev
+        # BS reduction makes fresh arrays per parity anyway.
         out = []
         for s in orig_seqs:
-            out.append(s.copy())
-            out.append(s.copy())
+            out.append(s)
+            out.append(s)
         return out
     if orig_alph != trans_alph:  # dna5 -> aa27, 6 frames
         out = []
         for s in orig_seqs:
             out.extend(ab.six_frames(s, genetic_code))
         return out
-    return [s.copy() for s in orig_seqs]
+    return list(orig_seqs)
 
 
 def query_trans_frames(orig_seqs: list[np.ndarray], orig_alph: str,
@@ -69,26 +73,21 @@ def query_trans_frames(orig_seqs: list[np.ndarray], orig_alph: str,
         out = []
         for s in orig_seqs:
             rc = ab.reverse_complement(s, ab.DNA5)
-            out.extend([s.copy(), s.copy(), rc, rc.copy()])
+            out.extend([s, s, rc, rc])  # duplicates alias (read-only)
         return out
     if red_alph in (ab.DNA4, ab.DNA5):  # nucleotide: fwd + revcomp
         out = []
         for s in orig_seqs:
-            out.append(s.copy())
+            out.append(s)
             out.append(ab.reverse_complement(s, ab.DNA5))
         return out
     if orig_alph == trans_alph:  # protein query
-        return [s.copy() for s in orig_seqs]
+        return list(orig_seqs)
     # dna query, protein search: 6-frame translation
     out = []
     for s in orig_seqs:
         out.extend(ab.six_frames(s, genetic_code))
     return out
-
-
-def reduce_frames(trans_frames: list[np.ndarray], trans_alph: str,
-                  red_alph: str) -> list[np.ndarray]:
-    return _reduce_frames(trans_frames, trans_alph, red_alph)
 
 
 def subject_frame_lengths(seq_lens: np.ndarray, orig_alph: str,
@@ -113,13 +112,15 @@ def subject_frame_lengths(seq_lens: np.ndarray, orig_alph: str,
 
 
 def concat_frames(frames: list[np.ndarray]):
-    """Flatten a list of frames into (concat u8, offsets u64, lengths u64).
-    offsets has len(frames)+1 entries."""
+    """Flatten a list of frames into (concat uint8, offsets int64,
+    lengths int64).  offsets has len(frames)+1 entries.  Frames are
+    already uint8 in every call path, so the concat is the only copy
+    (peak host RSS ~2x, not 3x, the database size)."""
     lengths = np.array([len(f) for f in frames], dtype=np.int64)
     offsets = np.zeros(len(frames) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     if frames:
-        concat = np.concatenate([f.astype(np.uint8) for f in frames])
+        concat = np.concatenate(frames).astype(np.uint8, copy=False)
     else:
         concat = np.zeros(0, dtype=np.uint8)
     return concat, offsets, lengths
