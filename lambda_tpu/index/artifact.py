@@ -242,10 +242,25 @@ class IndexData:
         if order is None:
             order = np.lexsort(tuple(keys[:, w]
                                      for w in reversed(range(meta.words))))
+        # parallel native gathers (same pattern as build_kmer_index —
+        # this runs at SEARCH startup on the full merged size); an int64
+        # 1-D gather is a (P, 2)-uint32 row gather on little-endian
+        sorted_keys = native.take_rows_u32(keys, order)
+        if sorted_keys is None:
+            sorted_keys = keys[order]
+
+        def _take_i64(a: np.ndarray) -> np.ndarray:
+            a = np.ascontiguousarray(a, dtype=np.int64)
+            if not np.little_endian:
+                return a[order]
+            rows = native.take_rows_u32(a.view(np.uint32).reshape(-1, 2),
+                                        order)
+            return a[order] if rows is None else rows.reshape(-1).view(np.int64)
+
         self.kmer = KI(alphabet_size=meta.alphabet_size, bits=meta.bits,
-                       words=meta.words, keys=keys[order],
-                       pos=pos[order].astype(np.uint32),
-                       frame=frame[order].astype(np.uint32))
+                       words=meta.words, keys=sorted_keys,
+                       pos=_take_i64(pos).astype(np.uint32),
+                       frame=_take_i64(frame).astype(np.uint32))
         return self.kmer
 
 

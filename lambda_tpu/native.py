@@ -348,18 +348,23 @@ def sort_rows_u32(keys: np.ndarray) -> np.ndarray | None:
 
 def take_rows_u32(src: np.ndarray, order: np.ndarray) -> np.ndarray | None:
     """Parallel ``src[order]`` for (P, words) uint32 rows (the sorted
-    key-array gather of the index build).  Returns None without the
-    lib (callers fall back to numpy fancy indexing)."""
+    key-array gather of the index build; the reference applies its sort
+    on all threads: generateIndex passes options.threads, mkindex_algo.hpp:601-611).  Returns None without
+    the lib (callers fall back to numpy fancy indexing).  Raises
+    IndexError on out-of-range rows like the numpy fallback (negative
+    indices are NOT supported)."""
     lib = get_lib()
     if lib is None:
         return None
     src = np.ascontiguousarray(src, dtype=np.uint32)
     order = np.ascontiguousarray(order, dtype=np.int64)
-    P, words = src.shape
-    dst = np.empty((P, words), dtype=np.uint32)
+    n, words = len(order), src.shape[1]
+    if n and (order.min() < 0 or order.max() >= src.shape[0]):
+        raise IndexError("take_rows_u32: order out of range")
+    dst = np.empty((n, words), dtype=np.uint32)
     u32p = ctypes.POINTER(ctypes.c_uint32)
     i64p = ctypes.POINTER(ctypes.c_int64)
-    lib.take_rows_u32(src.ctypes.data_as(u32p), P, words,
+    lib.take_rows_u32(src.ctypes.data_as(u32p), n, words,
                       order.ctypes.data_as(i64p),
                       dst.ctypes.data_as(u32p))
     return dst
@@ -369,13 +374,18 @@ def take_frame_of_pos(offsets: np.ndarray,
                       order: np.ndarray) -> np.ndarray | None:
     """Parallel ``frame_of_pos[order]`` without materializing the
     O(P) ``np.repeat`` expansion: per-row binary search over the frame
-    offsets.  Returns None without the lib."""
+    offsets (fuses the reference's threaded frame-id fill,
+    mkindex_algo.hpp:601-611 generateIndex(threads), with the sort-apply gather).  Returns
+    None without the lib.  Raises IndexError on positions outside
+    [offsets[0], offsets[-1]) like the numpy fallback."""
     lib = get_lib()
     if lib is None:
         return None
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     order = np.ascontiguousarray(order, dtype=np.int64)
     P = len(order)
+    if P and (order.min() < offsets[0] or order.max() >= offsets[-1]):
+        raise IndexError("take_frame_of_pos: position out of range")
     out = np.empty(P, dtype=np.uint32)
     u32p = ctypes.POINTER(ctypes.c_uint32)
     i64p = ctypes.POINTER(ctypes.c_int64)

@@ -404,7 +404,7 @@ void sort_rows_u32(const uint32_t* keys, int64_t P, int32_t words,
 // The remaining serial numpy step of the index build: applying the sort
 // order to the key array and the frame ids — at UniProt scale these are
 // multi-hundred-MB gathers worth all cores (reference builds its index
-// on all threads, mkindex_algo.hpp).
+// on all threads, mkindex_algo.hpp:601-611).
 void take_rows_u32(const uint32_t* src, int64_t P, int32_t words,
                    const int64_t* order, uint32_t* dst) {
 #pragma omp parallel for schedule(static)

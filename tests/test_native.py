@@ -312,6 +312,18 @@ def test_take_rows_and_frame_of_pos():
     got = native.take_rows_u32(src, order)
     assert (got == src[order]).all()
 
+    # subset order (not a full permutation): shape and values follow
+    # numpy src[order] semantics (regression: loop once ran to src rows)
+    sub_order = order[:17]
+    got_sub = native.take_rows_u32(src, sub_order)
+    assert got_sub.shape == (17, words)
+    assert (got_sub == src[sub_order]).all()
+    import pytest
+    with pytest.raises(IndexError):
+        native.take_rows_u32(src, np.array([0, P], dtype=np.int64))
+    with pytest.raises(IndexError):
+        native.take_rows_u32(src, np.array([-1], dtype=np.int64))
+
     # ragged frames incl. empty ones
     lens = rng.integers(0, 7, size=40).astype(np.int64)
     lens[0] = 0
@@ -324,6 +336,8 @@ def test_take_rows_and_frame_of_pos():
     want = frame_of_pos[order2].astype(np.uint32)
     got2 = native.take_frame_of_pos(offsets, order2)
     assert (got2 == want).all()
+    with pytest.raises(IndexError):
+        native.take_frame_of_pos(offsets, np.array([Pf], dtype=np.int64))
 
 
 def test_alignment_stats_unmerged_runs_and_bounds():
