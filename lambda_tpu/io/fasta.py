@@ -68,17 +68,32 @@ def _iter_fasta(fh, truncate_ids: bool) -> Iterator[SeqRecord]:
 
 
 def _iter_fastq(fh, truncate_ids: bool) -> Iterator[SeqRecord]:
-    # caller consumed the leading '@'
+    # caller consumed the leading '@'.  Multi-line (wrapped) records are
+    # legal FASTQ and accepted by the reference's bio::io reader: the
+    # sequence runs until the '+' line, the qualities until their total
+    # length matches the sequence ('@' may legally start a quality line,
+    # so length — not the character — is the delimiter).
     while True:
         id_line = fh.readline()
         if not id_line:
             return
         ident = _clean_id(id_line, truncate_ids)
-        seq = fh.readline().strip()
-        plus = fh.readline()
-        qual = fh.readline()
-        if not plus.startswith("+") or not qual:
+        seq_chunks = []
+        line = fh.readline()
+        while line and not line.startswith("+"):
+            seq_chunks.append(line.strip())
+            line = fh.readline()
+        if not line.startswith("+"):
             raise ValueError("malformed FASTQ record")
+        seq = "".join(seq_chunks)
+        qlen = 0
+        while qlen < len(seq):
+            qline = fh.readline()
+            if not qline:
+                raise ValueError("malformed FASTQ record (truncated qualities)")
+            qlen += len(qline.strip())
+        if qlen != len(seq):
+            raise ValueError("malformed FASTQ record (quality length mismatch)")
         yield SeqRecord(ident, seq.encode("ascii"))
         nxt = fh.read(1)
         while nxt and nxt in "\r\n \t":   # tolerate a whitespace tail

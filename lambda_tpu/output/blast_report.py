@@ -12,9 +12,6 @@ and a database statistics footer.
 
 from __future__ import annotations
 
-import gzip
-import math
-
 _REFERENCE = (
     "Reference: Altschul, Stephen F., Thomas L. Madden, Alejandro A.\n"
     "Schaffer, Jinghui Zhang, Zheng Zhang, Webb Miller, and David J.\n"
@@ -60,9 +57,11 @@ class BlastReportWriter:
           "   Score     E\n")
         w("Sequences producing significant alignments:                     "
           "  (Bits)  Value\n\n")
+        from .blast_tab import first_word
+
         seen = []
         for m in matches:
-            sid = subject_ids[m.n_s_id].split(None, 1)[0]
+            sid = first_word(subject_ids[m.n_s_id])
             if sid in seen:
                 continue
             seen.append(sid)
@@ -81,11 +80,15 @@ class BlastReportWriter:
               f" Expect = {evalue_fmt(m.e_value)}\n")
             gaps = m.num_gaps
             al = m.align_length
-            w(f" Identities = {m.num_matches}/{al} "
-              f"({round(100.0 * m.num_matches / al)}%), "
-              f"Positives = {m.num_positives}/{al} "
-              f"({round(100.0 * m.num_positives / al)}%), "
-              f"Gaps = {gaps}/{al} ({round(100.0 * gaps / al)}%)\n")
+
+            def pct(n: int) -> int:
+                # NCBI/lround semantics: half away from zero, not
+                # Python round()'s half-to-even (12.5% -> 13, not 12)
+                return int(100.0 * n / al + 0.5)
+
+            w(f" Identities = {m.num_matches}/{al} ({pct(m.num_matches)}%), "
+              f"Positives = {m.num_positives}/{al} ({pct(m.num_positives)}%), "
+              f"Gaps = {gaps}/{al} ({pct(gaps)}%)\n")
             # Frame/Strand line keyed on the PROGRAM (classic BLAST):
             # blastx prints the query frame, tblastn the subject frame,
             # tblastx both, blastn (incl. bisulfite) the strands
@@ -97,17 +100,28 @@ class BlastReportWriter:
             elif prog == "TBLASTN":
                 w(f" Frame = {m.s_frame_shift:+d}\n")
             elif prog == "BLASTN":
-                strand = "Minus" if m.q_frame_shift < 0 else "Plus"
-                w(f" Strand=Plus/{strand}\n")
+                # query strand first, subject strand second — must agree
+                # with the printed coordinates (the minus partner's
+                # coords descend); subjects are always plus here
+                qstrand = "Minus" if m.q_frame_shift < 0 else "Plus"
+                sstrand = "Minus" if m.s_frame_shift < 0 else "Plus"
+                w(f" Strand={qstrand}/{sstrand}\n")
             w("\n")
 
             q_row, m_row, s_row, (q_start_col, q_end_col), (s_start_col, s_end_col) = rows
+            # coordinate column scales with the widest line-start coord
+            # (classic BLAST): fixed width-5 misaligned the match line
+            # for 6+ digit genomic coordinates
+            cw = 5
+            for off in range(0, len(q_row), 60):
+                cw = max(cw, len(str(q_start_col[off])) + 1,
+                         len(str(s_start_col[off])) + 1)
             for off in range(0, len(q_row), 60):
                 end = min(off + 60, len(q_row)) - 1
-                w(f"Query  {q_start_col[off]:<5}{q_row[off:end + 1]}  "
+                w(f"Query  {q_start_col[off]:<{cw}}{q_row[off:end + 1]}  "
                   f"{q_end_col[end]}\n")
-                w(f"       {'':<5}{m_row[off:end + 1]}\n")
-                w(f"Sbjct  {s_start_col[off]:<5}{s_row[off:end + 1]}  "
+                w(f"       {'':<{cw}}{m_row[off:end + 1]}\n")
+                w(f"Sbjct  {s_start_col[off]:<{cw}}{s_row[off:end + 1]}  "
                   f"{s_end_col[end]}\n\n")
 
     def write_footer(self) -> None:

@@ -14,8 +14,6 @@ NCBI's tabular rules.
 
 from __future__ import annotations
 
-import gzip
-import math
 
 FIELD_NAMES = {
     "qseqid": "query id",

@@ -87,6 +87,16 @@ def merge(paths: list[str], out_path: str, max_matches: int | None = None,
                         seen.add(f[0])
                         order.append(f[0])
                 per_query[f[0]].append(f)
+    if not annotated:
+        # auto-detect the internal annotation column so a forgotten
+        # --annotated cannot leak 'X:...' columns into the merged m8
+        for rows_ in per_query.values():
+            parts = rows_[0][-1].split(":")
+            if len(parts) == 9 and parts[0] == "X":
+                print("merge_m8: inputs carry --merge-annotations "
+                      "columns; enabling --annotated", file=sys.stderr)
+                annotated = True
+            break
     with open(out_path, "w") as out:
         for q in order:
             if q not in per_query:
@@ -103,8 +113,9 @@ def merge(paths: list[str], out_path: str, max_matches: int | None = None,
 
 def _read_query_ids(path: str) -> list[str]:
     from ..io import fasta
+    from ..output.blast_tab import first_word
 
-    return [r.id.split()[0] for r in fasta.iter_seqs(path)]
+    return [first_word(r.id) for r in fasta.iter_seqs(path)]
 
 
 def main(argv=None) -> int:

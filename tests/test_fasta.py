@@ -63,3 +63,50 @@ def test_fastq_trailing_blank_line(tmp_path):
 
     recs = f.read_fasta(str(p))
     assert len(recs) == 1 and recs[0].seq == b"ACGT"
+
+
+def test_fastq_multiline_records(tmp_path):
+    # wrapped sequence and quality lines are legal FASTQ (the reference's
+    # bio::io reader accepts them); '@' may start a quality line
+    p = tmp_path / "ml.fastq"
+    p.write_text("@r1\nACGT\nACGT\n+\n@IIIIIII\n@r2 desc\nGGCC\n+r2\nIIII\n")
+    recs = list(fasta.iter_seqs(p))
+    assert [r.id for r in recs] == ["r1", "r2 desc"]
+    assert recs[0].seq == b"ACGTACGT"
+    assert recs[1].seq == b"GGCC"
+
+
+def test_fastq_truncated_quals_raise(tmp_path):
+    p = tmp_path / "bad.fastq"
+    p.write_text("@r1\nACGTACGT\n+\nIIII\n")
+    import pytest
+    with pytest.raises(ValueError):
+        list(fasta.iter_seqs(p))
+
+
+def test_async_input_buffer_abandoned_consumer_stops_producer():
+    # consumer abandons the generator mid-stream: the producer must not
+    # stay blocked in q.put() holding the source open
+    import gc
+    import threading
+    import time
+    from lambda_tpu.io.async_buffer import async_input_buffer
+
+    closed = []
+
+    def src():
+        try:
+            for i in range(10000):
+                yield i
+        finally:
+            closed.append(True)
+
+    it = async_input_buffer(src(), capacity=2)
+    assert next(it) == 0
+    before = threading.active_count()
+    it.close()  # GeneratorExit at the yield -> stop flag
+    gc.collect()
+    deadline = time.time() + 5.0
+    while time.time() < deadline and not closed:
+        time.sleep(0.05)
+    assert closed, "producer did not exit / close the source"
