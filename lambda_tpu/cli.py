@@ -45,7 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     if "--citation" in argv:
         print(CITATION)
         return 0
-    sub = next((a for a in argv if a in SUBCOMMANDS), None)
+    # the subcommand must be the FIRST positional (sharg semantics):
+    # scanning all of argv could match an option VALUE that happens to
+    # equal a subcommand name and silently run the wrong program
+    sub = argv[0] if argv and argv[0] in SUBCOMMANDS else None
     if sub is None:
         print("lambda-tpu — the TPU-native Local Aligner for Massive Biological DatA\n"
               f"version {__version__}\n\n"
@@ -54,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
               f"Citation: {CITATION}",
               file=sys.stderr)
         return 1 if argv else 0
-    argv.remove(sub)
+    argv = argv[1:]
     from .misc import (IndexException, QueryException,
                        strip_error_prefix as _strip_error_prefix)
     try:
@@ -143,8 +146,7 @@ def mkindex_main(sub: str, argv: list[str]) -> int:
         return 1
 
     t0 = time.time()
-    from .misc import my_print
-    vp = (lambda *a: my_print(opts.verbosity, 2, *a))
+    vp = (lambda *a: _my_print(opts.verbosity, 2, *a))
     _my_print(opts.verbosity, 1, "Building index...")
     idx = artifact.build_index(opts, verbose_print=vp)
     artifact.save_index(idx, opts.index_file)
@@ -236,7 +238,7 @@ def search_main(sub: str, argv: list[str]) -> int:
     if args.e_value is not None:
         opt.max_e_value = args.e_value
     opt.max_matches = args.num_matches
-    opt.threads = args.threads
+    opt.threads = args.threads or 1
     opt.verbosity = args.verbosity
     opt.adaptive_seeding = args.adaptive_seeding == "1"
     opt.seed_half_exact = args.seed_half_exact == "1"

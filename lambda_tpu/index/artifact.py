@@ -294,9 +294,11 @@ def build_index(opts: opt_mod.IndexerOptions, verbose_print=None) -> IndexData:
     heights = np.zeros(0, dtype=np.uint8)
     names: list[str] = []
     if opts.acc_to_tax_map_file:
+        from ..misc import my_print
         acc_to_rank = taxonomy.build_acc_to_rank(ids)
         s_tax_ids, present = taxonomy.read_acc_to_tax_map(
-            opts.acc_to_tax_map_file, acc_to_rank, len(ids))
+            opts.acc_to_tax_map_file, acc_to_rank, len(ids),
+            vp=lambda lvl, msg: my_print(opts.verbosity, lvl, msg))
         if opts.tax_dump_dir:
             parents, heights, names = taxonomy.build_tax_tree(
                 opts.tax_dump_dir, present)

@@ -42,16 +42,21 @@ def build_acc_to_rank(ids: list[str]) -> dict[str, int]:
 
 
 def _open_text(path: str):
-    if str(path).endswith((".gz", ".bgzf")):
+    p = str(path)
+    if p.endswith((".gz", ".bgzf")):
         return gzip.open(path, "rt")
+    if p.endswith(".bz2"):
+        import bz2
+        return bz2.open(path, "rt")
     return open(path, "r")
 
 
 def read_acc_to_tax_map(path: str, acc_to_rank: dict[str, int],
-                        num_subjects: int):
+                        num_subjects: int, vp=None):
     """Parse an NCBI .accession2taxid or UniProt .dat mapping file
     (mapTaxIDs, mkindex_algo.hpp:277-348).  Returns (s_tax_ids,
-    tax_id_present) where s_tax_ids is a list of per-subject taxid lists."""
+    tax_id_present) where s_tax_ids is a list of per-subject taxid lists.
+    ``vp(level, msg)`` prints the unmapped-subject accounting."""
     s_tax_ids: list[list[int]] = [[] for _ in range(num_subjects)]
     present: set[int] = set()
 
@@ -85,6 +90,20 @@ def read_acc_to_tax_map(path: str, acc_to_rank: dict[str, int],
         raise ValueError("extension of acc-to-tax-map file not handled")
 
     present.add(1)  # root node is always present (mkindex_algo.hpp:308-310)
+
+    # unmapped/multi-mapped accounting + wrong-map-file warning
+    # (mapTaxIDs, mkindex_algo.hpp:316-346)
+    if vp is not None:
+        nomap = sum(1 for s in s_tax_ids if len(s) == 0)
+        multi = sum(1 for s in s_tax_ids if len(s) > 1)
+        vp(2, f"Subjects without tax IDs:             "
+              f"{nomap}/{num_subjects}\n"
+              f"Subjects with more than one tax ID:   "
+              f"{multi}/{num_subjects}\n")
+        if nomap > 0 and num_subjects // nomap < 5:
+            vp(1, f"WARNING: {nomap * 100.0 / num_subjects}% of subjects "
+                  "have no taxID.\n"
+                  "         Maybe you specified the wrong map file?\n")
     return s_tax_ids, present
 
 

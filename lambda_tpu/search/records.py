@@ -178,16 +178,22 @@ def sort_dedup_cutoff(matches: list[BlastMatch], max_matches: int, stats):
 def record_lca(matches: list[BlastMatch], s_tax_ids: list[list[int]],
                parents: np.ndarray, heights: np.ndarray, names: list[str]):
     """LCA over all matches' tax ids (_writeRecord, search_algo.hpp:885-909)."""
+    # a taxid beyond the taxdump's id range (mapping file newer than the
+    # tree) is treated as unassigned, like the reference's "Unassigned
+    # subjects are simply ignored" — not an IndexError
+    def in_tree(t: int) -> bool:
+        return t < len(parents) and parents[t] != 0
+
     lca = 0
     for m in matches:
         tids = s_tax_ids[m.n_s_id]
-        if tids and parents[tids[0]] != 0:
+        if tids and in_tree(tids[0]):
             lca = tids[0]
             break
     if lca != 0:
         for m in matches:
             for tid in s_tax_ids[m.n_s_id]:
-                if parents[tid] != 0:
+                if in_tree(tid):
                     lca = taxonomy.compute_lca(parents, heights, tid, lca)
     name = names[lca] if names and lca < len(names) else ""
     return lca, name

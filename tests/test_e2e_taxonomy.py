@@ -80,3 +80,47 @@ def test_lca_single_subject(tax_setup):
     assert r.returncode == 0, r.stderr
     rows = read_m8(out)
     assert rows and rows[0][12] == "562"
+
+
+def test_bz2_map_and_out_of_tree_taxid(tmp_path):
+    """bz2-compressed mapping files open transparently (the reference's
+    regex accepts .bz2), and a taxid beyond the taxdump's id range (map
+    newer than tree) is ignored at LCA time instead of crashing."""
+    import bz2
+
+    d = tmp_path
+    db = d / "db.fasta"
+    fasta.write_fasta(db, [
+        fasta.SeqRecord("sp|P0AES4|GYRA_ECOLI gyrase", GYRA.encode()),
+        fasta.SeqRecord("sp|P12345|OTHER other protein", GYRA[:200].encode()),
+    ])
+    acc_map = d / "map.accession2taxid.bz2"
+    with bz2.open(acc_map, "wt") as fh:
+        fh.write("accession\taccession.version\ttaxid\tgi\n"
+                 "P0AES4\tP0AES4.1\t562\t0\n"
+                 "P12345\tP12345.1\t999999999\t0\n")  # beyond nodes.dmp
+    dump = d / "dump"
+    dump.mkdir()
+    (dump / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n"
+        "2\t|\t1\t|\tsuperkingdom\t|\n"
+        "562\t|\t2\t|\tspecies\t|\n")
+    (dump / "names.dmp").write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "2\t|\tBacteria\t|\t\t|\tscientific name\t|\n"
+        "562\t|\tEscherichia coli\t|\t\t|\tscientific name\t|\n")
+    lit = d / "db.lit"
+    r = run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                "-m", str(acc_map), "-x", str(dump), "-v", "0")
+    assert r.returncode == 0, r.stderr
+    q = d / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", GYRA[30:110].encode())])
+    out = d / "o.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "--output-columns", "std staxids lcaid lcataxid", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    assert rows, "expected hits"
+    # the out-of-tree subject contributes staxids but never the LCA
+    lcaids = {row[13] for row in rows}
+    assert "999999999" not in lcaids
