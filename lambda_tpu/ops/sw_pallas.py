@@ -49,7 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG32 = -(2 ** 27)
 PAD_SCORE8 = -128
 # padded query lengths beyond this would blow the VMEM budget even at the
-# minimum batch tile; callers fall back to the host/XLA kernels
+# minimum batch tile; sw_score_pallas raises so callers pick the
+# host/XLA kernels (the production banded kernel in sw_band.py windows
+# long queries and has no such cliff)
 M_MAX = 16384
 
 _BT_CAP = int(os.environ.get("LAMBDA_SW_BT", "512"))
@@ -216,6 +218,11 @@ def sw_score_pallas(q: np.ndarray, s: np.ndarray, subst_ext8,
     (PAD rank = alphabet size), s: (B, Ns).  Returns (B,) int32 numpy."""
     B, Mq = q.shape
     Ns = s.shape[1]
+    if Mq > M_MAX:
+        raise ValueError(
+            f"sw_score_pallas: query length {Mq} > M_MAX={M_MAX} exceeds "
+            "the VMEM budget; use the banded kernel (ops/sw_band.py) or "
+            "the host/XLA backends")
     pad_rank = int(np.asarray(subst_ext8).shape[0]) - 1
     M = max(_ceil(Mq, 128), 128)
     BT = batch_tile(M)

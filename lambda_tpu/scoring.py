@@ -238,6 +238,17 @@ class ScoringScheme:
     match: int = 0  # simple only
     mismatch: int = 0  # simple only
 
+    def __post_init__(self):
+        # gap_open > 0 would make RE-OPENING a gap cheaper than
+        # extending (dp_gap_first > dp_gap_extend), violating the
+        # affine-gap precondition the max-plus/cummax F formulations in
+        # ops/sw_xla.py and ops/sw_pallas.py rely on — they would
+        # silently return scores different from the scalar DP.
+        if self.gap_open > 0 or self.gap_extend > 0:
+            raise ValueError(
+                "gap scores must be <= 0 (BLAST convention): got "
+                f"gapOpen={self.gap_open}, gapExtend={self.gap_extend}")
+
     @property
     def dp_gap_first(self) -> int:
         return self.gap_open + self.gap_extend

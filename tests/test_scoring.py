@@ -83,3 +83,13 @@ def test_gap_convention():
     # DP charges open+extend at first gap char (search_algo.hpp:226)
     assert sch.dp_gap_first == -12
     assert sch.dp_gap_extend == -1
+
+
+def test_positive_gap_scores_rejected():
+    # gapOpen > 0 breaks the cummax F-prefix precondition in the XLA
+    # x-drop and pallas kernels (backend-dependent scores otherwise)
+    import pytest
+    with pytest.raises(ValueError):
+        scoring.make_nucleotide_scheme(2, -3, gap_open=1, gap_extend=-5)
+    with pytest.raises(ValueError):
+        scoring.make_protein_scheme(62, gap_open=-11, gap_extend=2)
