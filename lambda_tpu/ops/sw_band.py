@@ -434,11 +434,16 @@ def _pad_host_inputs(q, s, d_rows, N: int, Bp: int, pad_rank: int,
     ranks to (Bp, N) with PAD, pad d_rows with the -1 sentinel (wmin
     becomes D+1 — no lane ever in band, so batch-padding rows score 0
     AND never hold an X-drop tile alive), and pick the device_put
-    (interpret mode pins to CPU per the axon trap, CLAUDE.md)."""
+    (interpret mode pins to CPU per the axon trap, CLAUDE.md).
+
+    A query wider than the padded window is clipped to N columns: a
+    query row i can only pair with window positions j >= i (band
+    offsets are non-negative), so rows beyond the last window column
+    are out of band for every cell and cannot contribute."""
     B, Mq = q.shape
     Ns = s.shape[1]
     qp = np.full((Bp, N), pad_rank, dtype=np.int32)
-    qp[:B, :Mq] = q
+    qp[:B, :min(Mq, N)] = q[:, :N]
     sp = np.full((Bp, N), pad_rank, dtype=np.int32)
     sp[:B, :Ns] = s
     dr = np.full(Bp, -1, dtype=np.int32)

@@ -285,6 +285,37 @@ def test_sw_band_layouts_match_reference(monkeypatch, layout):
     assert list(got) == want
 
 
+def test_sw_band_query_wider_than_window(monkeypatch):
+    """A query array wider than the padded window must not crash the host
+    entry points: rows beyond the last window column are out of band for
+    every cell (band offsets are non-negative), so clipping to N columns
+    is exact.  Found by randomized differential stress (round 3)."""
+    from lambda_tpu.ops import sw_band, sw_pallas
+
+    monkeypatch.setattr(sw_band, "_BT_CAP", 8)
+    monkeypatch.setattr(sw_band, "_BTL_CAP", 128)
+    rng = np.random.default_rng(5)
+    A = 6
+    subst = rng.integers(-4, 3, size=(A, A)).astype(np.int32)
+    np.fill_diagonal(subst, rng.integers(2, 7, size=A))
+    e8 = sw_pallas.extend_matrix8(subst)
+    B = 2
+    q = rng.integers(0, A, size=(B, 33)).astype(np.int32)
+    s = rng.integers(0, A, size=(B, 12)).astype(np.int32)
+    s[0, :12] = q[0, :12]  # guarantee a real hit inside the window
+    d = np.array([3, 5], dtype=np.int32)
+    got = sw_band.sw_band_score_pallas(q, s, d, e8, -9, -2, interpret=True)
+    want = [sw_band.sw_band_reference(q[b], s[b], int(d[b]), subst, -9, -2)
+            for b in range(B)]
+    assert list(got) == want
+    sc, traces = sw_band.sw_band_align_pallas(q, s, d, e8, -9, -2,
+                                              interpret=True)
+    assert list(sc) == want
+    q0, s0, ops = traces[0]
+    assert sw_xla.score_of_ops(q[0], s[0], q0, s0, ops, subst, -9, -2) \
+        == want[0]
+
+
 # ---------------------------------------------------------------------------
 # X-drop early termination (LAMBDA_SW_XDROP) — semantics pinned against the
 # scalar chunk-granular reference (interpret mode)
