@@ -124,3 +124,50 @@ def test_bz2_map_and_out_of_tree_taxid(tmp_path):
     # the out-of-tree subject contributes staxids but never the LCA
     lcaids = {row[13] for row in rows}
     assert "999999999" not in lcaids
+
+
+def test_lca_random_trees_match_bruteforce(tmp_path):
+    """compute_lca on the thinned+flattened tree must equal the LCA in
+    the ORIGINAL tree for any two present taxa: the true LCA is either
+    an ancestor of the other taxon or a branching node, and both
+    survive thinning/flattening (mkindex_algo.hpp:354-598 semantics,
+    search_misc.hpp:86-112 walk).  Randomized oracle over random trees
+    and random present subsets."""
+    import numpy as np
+
+    from lambda_tpu.index import taxonomy
+
+    rng = np.random.default_rng(123)
+    for trial in range(12):
+        n = int(rng.integers(4, 60))
+        # random tree over ids 2..n+1 (1 = root); parent of i < i
+        ids = list(range(2, n + 2))
+        parent_of = {1: 1}
+        for i in ids:
+            parent_of[i] = int(rng.choice([1] + [j for j in ids if j < i])) \
+                if i > 2 else 1
+        dump = tmp_path / f"dump{trial}"
+        dump.mkdir()
+        (dump / "nodes.dmp").write_text("".join(
+            f"{i}\t|\t{p}\t|\tno rank\t|\n" for i, p in parent_of.items()))
+        (dump / "names.dmp").write_text("".join(
+            f"{i}\t|\ttax{i}\t|\t\t|\tscientific name\t|\n"
+            for i in parent_of))
+        k = int(rng.integers(2, max(3, n // 2)))
+        present = set(int(x) for x in rng.choice(ids, size=k, replace=False))
+        parents, heights, names = taxonomy.build_tax_tree(str(dump), present)
+
+        def orig_ancestors(t):
+            chain = [t]
+            while t != 1:
+                t = parent_of[t]
+                chain.append(t)
+            return chain
+
+        pl = sorted(present)
+        for a in pl:
+            for b in pl:
+                anc = orig_ancestors(a)
+                want = next(t for t in orig_ancestors(b) if t in set(anc))
+                got = taxonomy.compute_lca(parents, heights, a, b)
+                assert got == want, (trial, a, b, got, want, parent_of)
