@@ -220,3 +220,187 @@ def test_sam_minus_strand_asymmetric_clip_consistent(tmp_path):
     # the M-run of SEQ after the leading clip equals the reference
     assert seq[lead_s:lead_s + run] == s1[pos0:pos0 + run], (
         r1[5], pos0, seq)
+
+
+# ---------------------------------------------------------------------------
+# BAM <-> SAM record-level differential (independent spec-based decoder)
+# ---------------------------------------------------------------------------
+
+_SEQ_NIBBLE = "=ACMGRSVTWYHKDBN"
+_CIGAR_OPS = "MIDNSHP=X"
+
+
+def _decode_bam(path):
+    """Minimal BAM decoder written from the SAM/BAM spec (not from the
+    encoder): returns (header_text, references, records) where records
+    are dicts with qname/flag/ref/pos/mapq/cigar/seq/tags."""
+    raw = gzip.open(path, "rb").read()
+    assert raw[:4] == b"BAM\x01"
+    l_text = struct.unpack("<i", raw[4:8])[0]
+    text = raw[8:8 + l_text].decode().rstrip("\x00")
+    off = 8 + l_text
+    n_ref = struct.unpack("<i", raw[off:off + 4])[0]
+    off += 4
+    refs = []
+    for _ in range(n_ref):
+        l_name = struct.unpack("<i", raw[off:off + 4])[0]
+        name = raw[off + 4:off + 4 + l_name - 1].decode()
+        l_ref = struct.unpack("<i", raw[off + 4 + l_name:
+                                        off + 8 + l_name])[0]
+        refs.append((name, l_ref))
+        off += 8 + l_name
+    recs = []
+    while off < len(raw):
+        block_size = struct.unpack("<i", raw[off:off + 4])[0]
+        body = raw[off + 4:off + 4 + block_size]
+        off += 4 + block_size
+        (ref_id, pos, l_rn, mapq, _bin, n_cig, flag,
+         l_seq) = struct.unpack("<iiBBHHHi", body[:20])
+        next_ref, next_pos, tlen = struct.unpack("<iii", body[20:32])
+        assert next_ref == -1 and next_pos == -1 and tlen == 0
+        p = 32
+        qname = body[p:p + l_rn - 1].decode()
+        p += l_rn
+        cig = []
+        for _ in range(n_cig):
+            v = struct.unpack("<I", body[p:p + 4])[0]
+            cig.append(f"{v >> 4}{_CIGAR_OPS[v & 0xF]}")
+            p += 4
+        cigar = "".join(cig) if cig else "*"
+        seq = ""
+        for i in range(l_seq):
+            byte = body[p + i // 2]
+            nib = (byte >> 4) if i % 2 == 0 else (byte & 0xF)
+            seq += _SEQ_NIBBLE[nib]
+        p += (l_seq + 1) // 2
+        p += l_seq  # qual (0xFF = absent)
+        tags = {}
+        while p < len(body):
+            tag = body[p:p + 2].decode()
+            typ = chr(body[p + 2])
+            p += 3
+            if typ == "Z":
+                end = body.index(b"\x00", p)
+                tags[tag] = body[p:end].decode()
+                p = end + 1
+            elif typ in "cC":
+                tags[tag] = str(struct.unpack(
+                    "<b" if typ == "c" else "<B", body[p:p + 1])[0])
+                p += 1
+            elif typ in "sS":
+                tags[tag] = str(struct.unpack(
+                    "<h" if typ == "s" else "<H", body[p:p + 2])[0])
+                p += 2
+            elif typ in "iI":
+                tags[tag] = str(struct.unpack(
+                    "<i" if typ == "i" else "<I", body[p:p + 4])[0])
+                p += 4
+            elif typ == "A":
+                tags[tag] = chr(body[p])
+                p += 1
+            elif typ == "f":
+                tags[tag] = struct.unpack("<f", body[p:p + 4])[0]
+                p += 4
+            else:
+                raise AssertionError(f"unexpected BAM tag type {typ}")
+        recs.append(dict(qname=qname, flag=flag,
+                         ref="*" if ref_id < 0 else refs[ref_id][0],
+                         pos=pos, mapq=mapq, cigar=cigar, seq=seq,
+                         tags=tags))
+    return text, refs, recs
+
+
+def test_bam_equals_sam_record_for_record(tmp_path):
+    """Every BAM record field must agree with the SAM text of the same
+    search (search_output.hpp:464-737 writes both through one record
+    builder; here the two encoders are independent, so this differential
+    actually checks both).  blastx corpus: DNA queries, +/- frames,
+    soft clips, full tag surface."""
+    from tests.test_e2e import revcomp
+
+    d = tmp_path
+    db = d / "db.fasta"
+    fasta.write_fasta(db, [
+        fasta.SeqRecord("sp|P0AES4|GYRA_ECOLI gyrase A", GYRA.encode()),
+        fasta.SeqRecord("sp|P99999|CHIMERA part",
+                        (GYRA[150:300] + GYRA[20:80]).encode()),
+    ])
+    acc_map = d / "map.accession2taxid"
+    acc_map.write_text(
+        "accession\taccession.version\ttaxid\tgi\n"
+        "P0AES4\tP0AES4.1\t562\t0\n"
+        "P99999\tP99999.1\t9606\t0\n")
+    dump = d / "dump"
+    dump.mkdir()
+    (dump / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n"
+        "131567\t|\t1\t|\tno rank\t|\n"
+        "562\t|\t131567\t|\tspecies\t|\n"
+        "9606\t|\t131567\t|\tspecies\t|\n")
+    (dump / "names.dmp").write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "131567\t|\tcellular organisms\t|\t\t|\tscientific name\t|\n"
+        "562\t|\tEscherichia coli\t|\t\t|\tscientific name\t|\n"
+        "9606\t|\tHomo sapiens\t|\t\t|\tscientific name\t|\n")
+    lit = d / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                   "-m", str(acc_map), "-x", str(dump),
+                   "-v", "0").returncode == 0
+    # DNA queries encoding GYRA fragments, one reverse-complemented, one
+    # with junk flanks (soft clips)
+    codon = {"A": "GCT", "R": "CGT", "N": "AAT", "D": "GAT", "C": "TGT",
+             "Q": "CAA", "E": "GAA", "G": "GGT", "H": "CAT", "I": "ATT",
+             "L": "CTG", "K": "AAA", "M": "ATG", "F": "TTT", "P": "CCG",
+             "S": "TCT", "T": "ACT", "W": "TGG", "Y": "TAT", "V": "GTT"}
+    dna1 = "".join(codon[c] for c in GYRA[60:120])
+    dna2 = revcomp("".join(codon[c] for c in GYRA[210:265]))
+    dna3 = "ACGTACG" + "".join(codon[c] for c in GYRA[30:75]) + "TTGCA"
+    q = d / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("qa", dna1.encode()),
+                          fasta.SeqRecord("qb", dna2.encode()),
+                          fasta.SeqRecord("qc junk flanks", dna3.encode())])
+    tags = "AS NM OC IH ar ae ai ap qf qs sf st ls lt"
+    args = ["-q", str(q), "-i", str(lit), "--sam-with-refheader",
+            "--sam-bam-seq", "always", "--sam-bam-tags", tags,
+            "--sam-bam-clip", "soft", "-n", "8", "-v", "0"]
+    sam = d / "out.sam"
+    bam = d / "out.bam"
+    assert run_cli("searchp", *args, "-o", str(sam), "-v", "0").returncode == 0
+    assert run_cli("searchp", *args, "-o", str(bam), "-v", "0").returncode == 0
+
+    sam_lines = Path(sam).read_text().splitlines()
+    sam_hdr = [l for l in sam_lines if l.startswith("@")]
+    sam_recs = [l.split("\t") for l in sam_lines if not l.startswith("@")]
+    text, refs, bam_recs = _decode_bam(bam)
+    # headers: BAM text must contain the same @HD/@SQ lines; @PG's CL
+    # field embeds the output path, which legitimately differs
+    bam_hdr = text.splitlines()
+    for line in sam_hdr:
+        if line.startswith(("@HD", "@SQ")):
+            assert line in bam_hdr, line
+    pg = [l.split("\tCL:")[0] for l in sam_hdr if l.startswith("@PG")]
+    assert pg and all(any(b.startswith(p) for b in bam_hdr) for p in pg)
+    assert [r[0] for r in refs] == [
+        l.split("\t")[1][3:] for l in sam_hdr if l.startswith("@SQ")]
+    assert len(bam_recs) == len(sam_recs) and sam_recs, "no records"
+    plus = minus = clipped = 0
+    for s, b in zip(sam_recs, bam_recs):
+        assert b["qname"] == s[0]
+        assert b["flag"] == int(s[1])
+        assert b["ref"] == s[2]
+        assert b["pos"] + 1 == int(s[3])
+        assert b["mapq"] == int(s[4])
+        assert b["cigar"] == s[5]
+        assert (b["seq"] or "*") == s[9]
+        sam_tags = {t.split(":")[0]: t.split(":", 2)[2] for t in s[11:]}
+        assert set(b["tags"]) == set(sam_tags), (s[0], b["tags"], sam_tags)
+        for k, v in b["tags"].items():
+            if isinstance(v, float):   # BAM float32 vs SAM decimal text
+                ref = float(sam_tags[k])
+                assert v == pytest.approx(ref, rel=1e-6, abs=1e-300), (k, s[0])
+            else:
+                assert v == sam_tags[k], (k, s[0], v, sam_tags[k])
+        plus += (int(s[1]) & 0x10) == 0
+        minus += (int(s[1]) & 0x10) != 0
+        clipped += "S" in s[5]
+    assert plus and minus and clipped, (plus, minus, clipped)
