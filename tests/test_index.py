@@ -194,3 +194,53 @@ def test_kmer_words_2_index_and_search(tmp_path):
     r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
                 "--seed-length", "24", "-v", "0")
     assert r.returncode == 1 and "capacity" in r.stderr
+
+
+def test_corrupt_artifact_raises_index_exception(tmp_path):
+    """Truncations and random bit flips of the artifact must surface as
+    IndexException (the friendly re-index message, search_algo.hpp:93-100
+    semantics) or — for flips the zip CRC provably tolerates — load data
+    identical to the original.  Never a hang, segfault, or raw traceback
+    type."""
+    import numpy as np
+
+    from lambda_tpu import options as opt_mod
+    from lambda_tpu.index import artifact
+    from lambda_tpu.io import fasta
+    from lambda_tpu.misc import IndexException
+
+    rng = np.random.default_rng(9)
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [
+        fasta.SeqRecord(f"s{i}", bytes(rng.choice(
+            list(b"ACDEFGHIKLMNPQRSTVWY"), 80)))
+        for i in range(4)])
+    lit = tmp_path / "db.lit"
+    iopts = opt_mod.IndexerOptions(domain=opt_mod.Domain.PROTEIN,
+                                   db_file=str(db), index_file=str(lit))
+    artifact.save_index(artifact.build_index(iopts), str(lit))
+    good = lit.read_bytes()
+    ref = artifact.load_index(str(lit))
+
+    bad = tmp_path / "bad.lit"
+    n_loaded = 0
+    for i in range(24):
+        if i < 10:                        # truncation
+            cut = int(rng.integers(0, len(good)))
+            data = good[:cut]
+        else:                             # random bit flip
+            data = bytearray(good)
+            p = int(rng.integers(0, len(good)))
+            data[p] ^= 1 << int(rng.integers(0, 8))
+            data = bytes(data)
+        bad.write_bytes(data)
+        try:
+            got = artifact.load_index(str(bad))
+        except IndexException:
+            continue
+        n_loaded += 1
+        assert np.array_equal(got.kmer.keys, ref.kmer.keys)
+        assert got.ids == ref.ids
+        assert all(np.array_equal(a, b) for a, b in zip(got.seqs, ref.seqs))
+    # most corruptions must be caught (zip CRC + header checks)
+    assert n_loaded <= 6, n_loaded
