@@ -404,3 +404,88 @@ def test_bam_equals_sam_record_for_record(tmp_path):
         minus += (int(s[1]) & 0x10) != 0
         clipped += "S" in s[5]
     assert plus and minus and clipped, (plus, minus, clipped)
+
+
+def test_sam_blastn_randomized_cigar_nm_consistency(tmp_path):
+    """Randomized coordinate/CIGAR consistency for blastn SAM: for every
+    record, the alignment reconstructed from (POS, CIGAR, SEQ) against
+    the reference FASTA must re-derive the NM tag (mismatches + gaps,
+    the BLAST edit distance NM = align_length - matches) and the CIGAR
+    must consume exactly the read.  Independently validates positions,
+    strand handling and clip placement on reads with substitutions,
+    indels, revcomp and junk flanks."""
+    import re
+
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    genome = "".join(rng.choice(list("ACGT"), 600))
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord("chr", genome.encode())])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexn", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+
+    from tests.test_e2e import revcomp
+
+    reads = []
+    for i in range(12):
+        st = int(rng.integers(0, 480))
+        frag = list(genome[st:st + 90])
+        for _ in range(int(rng.integers(0, 5))):       # substitutions
+            p = int(rng.integers(0, len(frag)))
+            frag[p] = rng.choice([c for c in "ACGT" if c != frag[p]])
+        if rng.random() < 0.5:                          # 1-3nt indel
+            p = int(rng.integers(10, len(frag) - 10))
+            if rng.random() < 0.5:
+                del frag[p:p + int(rng.integers(1, 4))]
+            else:
+                frag[p:p] = rng.choice(list("ACGT"),
+                                       int(rng.integers(1, 4))).tolist()
+        s = "".join(frag)
+        if rng.random() < 0.3:                          # junk flanks
+            s = "TTTTACGTT"[: int(rng.integers(0, 9))] + s
+        if rng.random() < 0.5:
+            s = revcomp(s)
+        reads.append(fasta.SeqRecord(f"r{i}", s.encode()))
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, reads)
+    out = tmp_path / "out.sam"
+    r = run_cli("searchn", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "--sam-bam-clip", "soft", "--sam-bam-tags", "AS NM",
+                "-n", "3", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    recs = [l.split("\t") for l in Path(out).read_text().splitlines()
+            if not l.startswith("@")]
+    assert len(recs) >= 10, "fixture should align most reads"
+    n_minus = n_gapped = 0
+    for rec in recs:
+        flag, pos, cigar, seq = int(rec[1]), int(rec[3]), rec[5], rec[9]
+        tags = {t.split(":")[0]: t.split(":", 2)[2] for t in rec[11:]}
+        ops = re.findall(r"(\d+)([MIDSH])", cigar)
+        assert "".join(f"{n}{o}" for n, o in ops) == cigar
+        # CIGAR consumes the read exactly
+        read_len = sum(int(n) for n, o in ops if o in "MIS")
+        assert read_len == len(seq), rec[0]
+        # reconstruct and re-derive NM
+        qi, ri = 0, pos - 1
+        nm = 0
+        for n, o in ops:
+            n = int(n)
+            if o == "S":
+                qi += n
+            elif o == "M":
+                nm += sum(seq[qi + j] != genome[ri + j] for j in range(n))
+                qi += n
+                ri += n
+            elif o == "I":
+                nm += n
+                qi += n
+            elif o == "D":
+                nm += n
+                ri += n
+        assert ri <= len(genome), rec[0]
+        assert nm == int(tags["NM"]), (rec[0], cigar, nm, tags["NM"])
+        n_minus += (flag & 0x10) != 0
+        n_gapped += ("I" in cigar or "D" in cigar)
+    assert n_minus and n_gapped, (n_minus, n_gapped)
