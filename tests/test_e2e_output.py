@@ -489,3 +489,139 @@ def test_sam_blastn_randomized_cigar_nm_consistency(tmp_path):
         n_minus += (flag & 0x10) != 0
         n_gapped += ("I" in cigar or "D" in cigar)
     assert n_minus and n_gapped, (n_minus, n_gapped)
+
+
+_STD_CODE = {}
+for _i, _b1 in enumerate("TCAG"):
+    for _j, _b2 in enumerate("TCAG"):
+        for _k, _b3 in enumerate("TCAG"):
+            _STD_CODE[_b1 + _b2 + _b3] = \
+                "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"[
+                    16 * _i + 4 * _j + _k]
+
+
+def _translate(dna: str) -> str:
+    return "".join(_STD_CODE.get(dna[i:i + 3], "X")
+                   for i in range(0, len(dna) - 2, 3))
+
+
+def test_m8_untranslation_randomized_consistency(tmp_path):
+    """Randomized untranslation-coordinate consistency for the translated
+    modes: for every GAPLESS m8 line, the DNA segment implied by the
+    coordinates, independently re-translated with the standard code
+    (own codon table, not the product's), must reproduce the reported
+    mismatch count against the other side's segment.  blastx (DNA query
+    x protein db, +/- query frames) and tblastn (protein query x DNA db,
+    +/- subject frames).  Pins _untranslateSequence semantics
+    (search_output.hpp:86-109) on random inputs."""
+    import numpy as np
+
+    from tests.test_e2e import read_m8, revcomp
+
+    rng = np.random.default_rng(13)
+    AA = "ARNDCQEGHILKMFPSTWYV"
+    prots = ["".join(rng.choice(list(AA), 150)) for _ in range(3)]
+
+    # --- blastx: DNA queries carrying mutated fragments, both strands
+    db = tmp_path / "pdb.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord(f"p{i}", p.encode())
+                           for i, p in enumerate(prots)])
+    plit = tmp_path / "pdb.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(plit),
+                   "-v", "0").returncode == 0
+    codons = {a: [c for c, x in _STD_CODE.items() if x == a] for a in AA}
+    queries = []
+    for i in range(8):
+        src = prots[int(rng.integers(0, 3))]
+        st = int(rng.integers(0, 80))
+        frag = list(src[st:st + 50])
+        for _ in range(4):
+            p = int(rng.integers(0, len(frag)))
+            frag[p] = rng.choice(list(AA))
+        dna = "".join(str(rng.choice(codons[a])) for a in frag)
+        pre = "".join(rng.choice(list("ACGT"), int(rng.integers(0, 3))))
+        dna = pre + dna
+        if rng.random() < 0.5:
+            dna = revcomp(dna)
+        queries.append(fasta.SeqRecord(f"q{i}", dna.encode()))
+    q = tmp_path / "qx.fasta"
+    fasta.write_fasta(q, queries)
+    qmap = {r.id.split()[0]: r.seq.decode() for r in queries}
+    out = tmp_path / "outx.m8"
+    assert run_cli("searchp", "-q", str(q), "-i", str(plit), "-o",
+                   str(out), "-v", "0").returncode == 0
+    rows = read_m8(out)
+    assert len(rows) >= 6
+    n_minus = 0
+    for row in rows:
+        (qid, sid, pident, length, mism, gapo, qs, qe, ss, se,
+         *_) = row
+        if int(gapo):
+            continue
+        qs, qe, ss, se = int(qs), int(qe), int(ss), int(se)
+        L = int(length)
+        dna = qmap[qid]
+        if qs <= qe:
+            seg = dna[qs - 1:qe]
+        else:
+            seg = revcomp(dna[qe - 1:qs])
+            n_minus += 1
+        assert len(seg) == 3 * L, (qid, row)
+        got = _translate(seg)
+        want = prots[int(sid[1:])][ss - 1:se]
+        assert len(want) == L
+        assert sum(a != b for a, b in zip(got, want)) == int(mism), \
+            (qid, sid, got, want)
+    assert n_minus, "fixture must produce minus-strand blastx lines"
+
+    # --- tblastn: protein queries vs DNA subjects on both strands
+    dnas = []
+    for i, p in enumerate(prots):
+        dna = "".join(str(rng.choice(codons[a])) for a in p)
+        if i % 2:
+            dna = revcomp(dna)
+        dnas.append(dna)
+    ddb = tmp_path / "ddb.fasta"
+    fasta.write_fasta(ddb, [fasta.SeqRecord(f"d{i}", s.encode())
+                            for i, s in enumerate(dnas)])
+    dlit = tmp_path / "ddb.lit"
+    assert run_cli("mkindexp", "-d", str(ddb), "-i", str(dlit),
+                   "-v", "0").returncode == 0
+    tq = tmp_path / "qt.fasta"
+    tqueries = []
+    for i in range(6):
+        src = prots[int(rng.integers(0, 3))]
+        st = int(rng.integers(0, 90))
+        frag = list(src[st:st + 45])
+        for _ in range(3):
+            p = int(rng.integers(0, len(frag)))
+            frag[p] = rng.choice(list(AA))
+        tqueries.append(fasta.SeqRecord(f"t{i}", "".join(frag).encode()))
+    fasta.write_fasta(tq, tqueries)
+    tqmap = {r.id.split()[0]: r.seq.decode() for r in tqueries}
+    out2 = tmp_path / "outt.m8"
+    assert run_cli("searchp", "-q", str(tq), "-i", str(dlit), "-o",
+                   str(out2), "-v", "0").returncode == 0
+    rows = read_m8(out2)
+    assert len(rows) >= 4
+    n_minus = 0
+    for row in rows:
+        (qid, sid, pident, length, mism, gapo, qs, qe, ss, se,
+         *_) = row
+        if int(gapo):
+            continue
+        qs, qe, ss, se = int(qs), int(qe), int(ss), int(se)
+        L = int(length)
+        dna = dnas[int(sid[1:])]
+        if ss <= se:
+            seg = dna[ss - 1:se]
+        else:
+            seg = revcomp(dna[se - 1:ss])
+            n_minus += 1
+        assert len(seg) == 3 * L, (qid, row)
+        got = _translate(seg)
+        want = tqmap[qid][qs - 1:qe]
+        assert len(want) == L
+        assert sum(a != b for a, b in zip(got, want)) == int(mism), \
+            (qid, sid, got, want)
+    assert n_minus, "fixture must produce minus-frame tblastn lines"
