@@ -625,3 +625,75 @@ def test_m8_untranslation_randomized_consistency(tmp_path):
         assert sum(a != b for a, b in zip(got, want)) == int(mism), \
             (qid, sid, got, want)
     assert n_minus, "fixture must produce minus-frame tblastn lines"
+
+
+def test_m8_tblastx_untranslation_randomized_consistency(tmp_path):
+    """tblastx variant: BOTH coordinate pairs are DNA-space; for gapless
+    lines the two independently re-translated segments must reproduce
+    the reported mismatch count (dual _untranslateSequence)."""
+    import numpy as np
+
+    from tests.test_e2e import read_m8, revcomp
+
+    rng = np.random.default_rng(29)
+    AA = "ARNDCQEGHILKMFPSTWYV"
+    codons = {a: [c for c, x in _STD_CODE.items() if x == a] for a in AA}
+    prots = ["".join(rng.choice(list(AA), 120)) for _ in range(3)]
+    dnas = []
+    for i, p in enumerate(prots):
+        dna = "".join(str(rng.choice(codons[a])) for a in p)
+        if i % 2:
+            dna = revcomp(dna)
+        dnas.append(dna)
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [fasta.SeqRecord(f"d{i}", s.encode())
+                           for i, s in enumerate(dnas)])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+    queries = []
+    for i in range(6):
+        src = prots[int(rng.integers(0, 3))]
+        st = int(rng.integers(0, 70))
+        frag = list(src[st:st + 40])
+        for _ in range(3):
+            p = int(rng.integers(0, len(frag)))
+            frag[p] = rng.choice(list(AA))
+        dna = "".join(str(rng.choice(codons[a])) for a in frag)
+        if rng.random() < 0.5:
+            dna = revcomp(dna)
+        queries.append(fasta.SeqRecord(f"q{i}", dna.encode()))
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, queries)
+    qmap = {r.id.split()[0]: r.seq.decode() for r in queries}
+    out = tmp_path / "out.m8"
+    assert run_cli("searchp", "-q", str(q), "-i", str(lit), "-o",
+                   str(out), "-v", "0").returncode == 0
+    rows = read_m8(out)
+    assert len(rows) >= 4
+    n_minus_q = n_minus_s = 0
+    for row in rows:
+        (qid, sid, pident, length, mism, gapo, qs, qe, ss, se,
+         *_) = row
+        if int(gapo):
+            continue
+        qs, qe, ss, se = int(qs), int(qe), int(ss), int(se)
+        L = int(length)
+        qdna = qmap[qid]
+        sdna = dnas[int(sid[1:])]
+        if qs <= qe:
+            qseg = qdna[qs - 1:qe]
+        else:
+            qseg = revcomp(qdna[qe - 1:qs])
+            n_minus_q += 1
+        if ss <= se:
+            sseg = sdna[ss - 1:se]
+        else:
+            sseg = revcomp(sdna[se - 1:ss])
+            n_minus_s += 1
+        assert len(qseg) == 3 * L and len(sseg) == 3 * L, row
+        got_q = _translate(qseg)
+        got_s = _translate(sseg)
+        assert sum(a != b for a, b in zip(got_q, got_s)) == int(mism), \
+            (qid, sid, got_q, got_s)
+    assert n_minus_q and n_minus_s
