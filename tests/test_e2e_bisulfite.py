@@ -112,3 +112,77 @@ def test_bisulfite_xdrop_backend_parity(bs_db, tmp_path):
         assert data.strip(), f"{tag}: empty output"
         outs.append(data)
     assert outs[0] == outs[1]
+
+
+def test_bisulfite_m8_randomized_mismatch_consistency(bs_db, tmp_path):
+    """Randomized coordinate/mismatch consistency: for gapless m8 lines,
+    re-count mismatches from the genome and read segments under the two
+    BS rules (fwd: subject C ≡ query T; rev: subject G ≡ query A, after
+    re-orienting minus-strand reads) — the asymmetric-match analogue of
+    the blastx untranslation checks.  The subject FRAME parity (not the
+    query strand) picks the rule and is not an m8 column, and a read
+    can legitimately hit both duplicate frames — so each line must be
+    explained by one of the two rule counts, and the strand-canonical
+    rule must explain the best line per read.  Pins
+    evaluate_bisulfite_alignment.hpp:26-119 semantics on random
+    partially-converted noisy reads."""
+    genome, lit = bs_db
+    rng = np.random.default_rng(47)
+    reads = []
+    for i in range(10):
+        st = int(rng.integers(0, 310))
+        frag = list(genome[st:st + 80])
+        minus = rng.random() < 0.5
+        conv_from, conv_to = ("G", "A") if minus else ("C", "T")
+        for p, c in enumerate(frag):
+            if c == conv_from and rng.random() < 0.7:   # partial conversion
+                frag[p] = conv_to
+        for _ in range(int(rng.integers(0, 4))):        # real mutations
+            p = int(rng.integers(0, len(frag)))
+            frag[p] = rng.choice(list("ACGT"))
+        s = "".join(frag)
+        if minus:
+            s = revcomp(s)
+        reads.append(fasta.SeqRecord(f"r{i}", s.encode()))
+    q = tmp_path / "reads.fasta"
+    fasta.write_fasta(q, reads)
+    rmap = {r.id.split()[0]: r.seq.decode() for r in reads}
+    out = tmp_path / "out.m8"
+    r = run_cli("searchbs", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "-v", "0")
+    assert r.returncode == 0, r.stderr
+    rows = read_m8(out)
+    assert len(rows) >= 8
+    n_minus = 0
+    best_rule_ok = {}
+    for row in rows:
+        (qid, sid, pident, length, mism, gapo, qs, qe, ss, se,
+         *_) = row
+        if int(gapo):
+            continue
+        qs, qe, ss, se = int(qs), int(qe), int(ss), int(se)
+        L = int(length)
+        assert ss <= se, row
+        sseg = genome[ss - 1:se]
+        read = rmap[qid]
+        if qs <= qe:
+            qseg = read[qs - 1:qe]
+            canonical = "fwd"
+        else:
+            qseg = revcomp(read[qe - 1:qs])
+            canonical = "rev"
+            n_minus += 1
+        assert len(qseg) == L and len(sseg) == L, row
+        fwd = sum(not (q == s or (s == "C" and q == "T"))
+                  for s, q in zip(sseg, qseg))
+        rev = sum(not (q == s or (s == "G" and q == "A"))
+                  for s, q in zip(sseg, qseg))
+        assert int(mism) in (fwd, rev), (qid, sseg, qseg, fwd, rev, mism)
+        if qid not in best_rule_ok:
+            # the FIRST (best) line per read must match its
+            # strand-canonical rule: converted reads align cleanly only
+            # under it
+            want = fwd if canonical == "fwd" else rev
+            best_rule_ok[qid] = int(mism) == want
+    assert n_minus, "fixture must produce minus-strand BS lines"
+    assert all(best_rule_ok.values()), best_rule_ok
