@@ -232,6 +232,23 @@ def search_main(sub: str, argv: list[str]) -> int:
     opt.query_file = args.query
     opt.index_file = args.index
     opt.output = args.output
+    if args.output_columns.strip() == "help":
+        # column help + exit 0 (search_options.hpp:713-729)
+        from .output.blast_tab import FIELD_NAMES
+        print("Please specify the columns in this format "
+              "-oc 'column1 column2', i.e. space-separated and enclosed "
+              "in single quotes.\nThe specifiers are the same as in NCBI "
+              "Blast, currently the following are supported:")
+        print("\tstd\t\tDefault 12 columns (Query Seq-id, Subject Seq-id,"
+              " Percentage of identical matches, Alignment length,"
+              " Number of mismatches, Number of gap openings, Start of"
+              " alignment in query, End of alignment in query, Start of"
+              " alignment in subject, End of alignment in subject,"
+              " Expect value, Bit score)")
+        for label, desc in FIELD_NAMES.items():
+            pad = "\t" if len(label) >= 8 else "\t\t"
+            print(f"\t{label}{pad}{desc}")
+        sys.exit(0)
     opt.columns = args.output_columns.split()
     opt.id_cutoff = args.percent_identity
     opt.min_bit_score = args.bit_score

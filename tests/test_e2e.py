@@ -510,3 +510,17 @@ def test_query_batch_size_invariance_iterative(tmp_path):
     assert outs[2] == outs[6]
     # the scenario is real: both query classes produce output
     assert "q0\t" in outs[2] and "q1\t" in outs[2]
+
+
+def test_output_columns_help_exits_zero(protein_db, tmp_path):
+    """-oc help prints the supported column list and exits 0 WITHOUT
+    running a search (search_options.hpp:713-729)."""
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", GYRA[50:130].encode())])
+    r = run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                "-o", str(tmp_path / "x.m8"), "--output-columns", "help")
+    assert r.returncode == 0, r.stderr
+    assert "the following are supported" in r.stdout
+    for label in ("std", "qseqid", "staxids", "lcataxid", "bitscore"):
+        assert f"\t{label}" in r.stdout, label
+    assert not (tmp_path / "x.m8").exists()
