@@ -283,7 +283,24 @@ def search_main(sub: str, argv: list[str]) -> int:
         opt.pre_scoring_thresh = args.pre_scoring_threshold
     opt.sam_with_ref_header = args.sam_with_refheader
     opt.sam_bam_seq = args.sam_bam_seq
+    if args.sam_bam_tags.strip() == "help":
+        # tag help + exit 0 (search_options.hpp:774-784)
+        from .output.sam_bam import TAG_DESCRIPTIONS, TAG_ORDER
+        print("Please specify the tags in this format -oc 'tag1 tag2', "
+              "i.e. space-separated and enclosed in quotes. The order of "
+              "tags is not preserved.\nThe following specifiers are "
+              "supported:")
+        for tag in TAG_ORDER:
+            print(f"\t{tag}\t{TAG_DESCRIPTIONS[tag]}")
+        sys.exit(0)
     opt.sam_bam_tags = args.sam_bam_tags.split()
+    from .output.sam_bam import TAG_ORDER as _tag_order
+    for tag in opt.sam_bam_tags:
+        if tag not in _tag_order:
+            # unknown tags must error, not be silently dropped
+            # (search_options.hpp:802-808)
+            p.error(f'Unknown column specifier "{tag}". Please see '
+                    '"--sam-bam-tags help" for valid options.')
     opt.sam_bam_hard_clip = args.sam_bam_clip == "hard"
     opt.version_to_output_file = args.version_to_outputfile == "1"
     opt.lazy_qry_file = args.lazy_query

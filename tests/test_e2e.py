@@ -524,3 +524,23 @@ def test_output_columns_help_exits_zero(protein_db, tmp_path):
     for label in ("std", "qseqid", "staxids", "lcataxid", "bitscore"):
         assert f"\t{label}" in r.stdout, label
     assert not (tmp_path / "x.m8").exists()
+
+
+def test_sam_bam_tags_help_and_unknown_tag(protein_db, tmp_path):
+    """--sam-bam-tags 'help' prints the tag list and exits 0; an unknown
+    tag errors instead of being silently dropped
+    (search_options.hpp:774-808)."""
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [fasta.SeqRecord("q1", GYRA[50:130].encode())])
+    out = tmp_path / "x.sam"
+    r = run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                "-o", str(out), "--sam-bam-tags", "help")
+    assert r.returncode == 0, r.stderr
+    assert "The following specifiers are supported" in r.stdout
+    for tag in ("AS", "NM", "ar", "lt"):
+        assert f"\t{tag}\t" in r.stdout, tag
+    assert not out.exists()
+    r = run_cli("searchp", "-q", str(q), "-i", str(protein_db),
+                "-o", str(out), "--sam-bam-tags", "AS BOGUS")
+    assert r.returncode != 0
+    assert 'Unknown column specifier "BOGUS"' in r.stderr
