@@ -431,3 +431,35 @@ def test_cli_lazy_query_with_db_shards(tmp_path):
     assert r.returncode == 0, r.stderr
     assert out.read_text() == ref.read_text()
     assert ref.read_text().strip()
+
+
+def test_cli_lazy_query_with_q_and_db_shards(tmp_path):
+    """--lazy-query composed with the full q x db mesh (and a batch size
+    smaller than the query count, so streaming actually re-batches)
+    must byte-match the eager unsharded run."""
+    from tests.test_e2e import GYRA, run_cli
+
+    from lambda_tpu.io import fasta
+
+    db = tmp_path / "db.fasta"
+    fasta.write_fasta(db, [
+        fasta.SeqRecord("GYRA_ECOLI", GYRA.encode()),
+        fasta.SeqRecord("G2", GYRA[40:200].encode())])
+    lit = tmp_path / "db.lit"
+    assert run_cli("mkindexp", "-d", str(db), "-i", str(lit),
+                   "-v", "0").returncode == 0
+    q = tmp_path / "q.fasta"
+    fasta.write_fasta(q, [
+        fasta.SeqRecord(f"q{i}", GYRA[i * 18:i * 18 + 70].encode())
+        for i in range(9)])
+    ref = tmp_path / "ref.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(ref),
+                "-v", "0")
+    assert r.returncode == 0, r.stderr
+    out = tmp_path / "lazy_mesh.m8"
+    r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o", str(out),
+                "--lazy-query", "--q-shards", "2", "--db-shards", "2",
+                "--query-batch", "4", "-v", "0")
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == ref.read_text()
+    assert ref.read_text().strip()
