@@ -65,9 +65,11 @@ def _gather_keys(keys: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return keys[idx]
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",))
+@functools.partial(jax.jit, static_argnames=("n_steps", "bucket_shift"))
 def search_range(keys: jnp.ndarray, targets: jnp.ndarray, masks: jnp.ndarray,
-                 lo0: jnp.ndarray, hi0: jnp.ndarray, n_steps: int):
+                 lo0: jnp.ndarray, hi0: jnp.ndarray, n_steps: int,
+                 bucket: jnp.ndarray | None = None,
+                 bucket_shift: int | None = None):
     """Find, within initial ranges [lo0, hi0), the subrange of rows whose
     masked keys equal ``targets``.
 
@@ -75,9 +77,20 @@ def search_range(keys: jnp.ndarray, targets: jnp.ndarray, masks: jnp.ndarray,
     targets: (N, words) uint32, zero beyond the prefix
     masks:   (N, words) uint32 prefix masks
     lo0/hi0: (N,) int32 initial range (pass 0/P for a full search)
-    n_steps: static number of bisection steps (ceil(log2(P))+1)
+    n_steps: static UPPER BOUND on bisection steps (ceil(log2(P))+1);
+             the loop exits as soon as every range has converged, so a
+             caller that passes already-narrow [lo0, hi0) (the adaptive
+             elongation re-search) pays only the steps it needs.
+    bucket/bucket_shift: optional first-word prefix bucket table (see
+             ``prefix_table``): ``bucket[p]`` is the first row whose
+             word-0 top bits equal p (p = word0 >> bucket_shift).  For
+             every target whose mask covers the bucketed prefix the
+             initial range is intersected with its bucket, cutting the
+             realized bisection depth to ~log2(max bucket size).
 
     Returns (lo, hi): (N,) int32 each; hi - lo is the occurrence count.
+    The result is step-count-invariant (extra bisection steps are
+    no-ops), so the dynamic exit cannot change output bytes.
     """
 
     # anchor the carries to the inputs' device-variance (vma) so the loop
@@ -87,26 +100,71 @@ def search_range(keys: jnp.ndarray, targets: jnp.ndarray, masks: jnp.ndarray,
     lo0 = lo0 + anchor
     hi0 = hi0 + anchor
 
-    def lb_body(_, state):
-        lo, hi = state
-        mid = lo + ((hi - lo) >> 1)
+    if bucket is not None and bucket_shift is not None:
+        full = jnp.uint32((0xFFFFFFFF << bucket_shift) & 0xFFFFFFFF
+                          if bucket_shift < 32 else 0)
+        usable = (masks[..., 0] & full) == full
+        pfx = (targets[..., 0] >> np.uint32(bucket_shift)).astype(jnp.int32)
+        blo = bucket[pfx]
+        bhi = bucket[pfx + 1]
+        lo0 = jnp.where(usable, jnp.maximum(lo0, blo), lo0)
+        hi0 = jnp.where(usable, jnp.minimum(hi0, bhi), hi0)
+        hi0 = jnp.maximum(hi0, lo0)
+
+    def step(st):
+        i, lo_l, hi_l, lo_u, hi_u = st
+        # lower bound: first row >= target
+        mid = lo_l + ((hi_l - lo_l) >> 1)
         kw = _gather_keys(keys, mid)
         lt, _ = _masked_cmp(kw, targets, masks)
-        go_right = (lo < hi) & lt
-        return jnp.where(go_right, mid + 1, lo), jnp.where((lo < hi) & ~lt, mid, hi)
-
-    def ub_body(_, state):
-        lo, hi = state
-        mid = lo + ((hi - lo) >> 1)
+        open_l = lo_l < hi_l
+        go = open_l & lt
+        lo_l = jnp.where(go, mid + 1, lo_l)
+        hi_l = jnp.where(open_l & ~lt, mid, hi_l)
+        # upper bound: first row > target
+        mid = lo_u + ((hi_u - lo_u) >> 1)
         kw = _gather_keys(keys, mid)
         lt, eq = _masked_cmp(kw, targets, masks)
         leq = lt | eq
-        go_right = (lo < hi) & leq
-        return jnp.where(go_right, mid + 1, lo), jnp.where((lo < hi) & ~leq, mid, hi)
+        open_u = lo_u < hi_u
+        go = open_u & leq
+        lo_u = jnp.where(go, mid + 1, lo_u)
+        hi_u = jnp.where(open_u & ~leq, mid, hi_u)
+        return i + 1, lo_l, hi_l, lo_u, hi_u
 
-    lo = jax.lax.fori_loop(0, n_steps, lb_body, (lo0, hi0))[0]
-    hi = jax.lax.fori_loop(0, n_steps, ub_body, (lo0, hi0))[0]
+    def more(st):
+        i, lo_l, hi_l, lo_u, hi_u = st
+        return (i < n_steps) & (jnp.any(lo_l < hi_l) | jnp.any(lo_u < hi_u))
+
+    _, lo, _, _, hi = jax.lax.while_loop(
+        more, step, (jnp.int32(0), lo0, hi0, lo0, hi0))
     return lo, hi
+
+
+def pick_bucket_m(bits: int, cpw: int, n_rows: int) -> int:
+    """Largest first-word prefix length m (chars) whose bucket table
+    (2^(bits*m)+1 int32 entries) stays within ~4x the row count and a
+    4 Mi-entry cap — keeps the table O(index) while leaving average
+    bucket sizes of a handful of rows."""
+    cap = min(1 << 22, max(4096, 4 * max(n_rows, 1)))
+    m = 0
+    while m < cpw and (1 << (bits * (m + 1))) <= cap:
+        m += 1
+    return m
+
+
+def prefix_table(keys_word0: np.ndarray, bits: int, m: int) -> np.ndarray:
+    """Host-side bucket table over the top ``m`` packed characters of
+    word 0 of the SORTED key rows: entry p = index of the first row
+    whose word-0 top bits equal p; entry 2^(bits*m) = n_rows.  Rows
+    padded with 0xFFFFFFFF (sharded stacking) fall in the last buckets
+    and never intersect a real target's bucket."""
+    shift = np.uint32(32 - bits * m)
+    pfx = (keys_word0.astype(np.uint32) >> shift).astype(np.int64)
+    counts = np.bincount(pfx, minlength=1 << (bits * m))
+    table = np.zeros((1 << (bits * m)) + 1, dtype=np.int32)
+    table[1:] = np.cumsum(counts).astype(np.int32)
+    return table
 
 
 def steps_for(num_rows: int) -> int:

@@ -423,7 +423,7 @@ def make_sharded_seeder(mesh: Mesh, fused):
 
     def local(keys, pos, frame, offsets, lengths, trans, red,
               red_q, qlens, slot_frame, slot_begin, slot_rem, hits0,
-              trans_q, subst_fwd, subst_rev):
+              trans_q, subst_fwd, subst_rev, bucket):
         # slot_frame values are BATCH-GLOBAL query-frame row ids while
         # red_q/qlens/trans_q here are the shard-LOCAL blocks: rebase to
         # local ids (the host adds q_base back, pipeline._sharded_collect).
@@ -435,7 +435,8 @@ def make_sharded_seeder(mesh: Mesh, fused):
         res = fused(keys[0], red_q, qlens,
                     slot_frame, slot_begin, slot_rem, hits0,
                     pos[0], frame[0], offsets[0], lengths[0],
-                    trans[0], trans_q, red[0], subst_fwd, subst_rev)
+                    trans[0], trans_q, red[0], subst_fwd, subst_rev,
+                    bucket[0])
         st = res["stats"]
         outs = (res["q_frame"], res["q_begin"], res["seed_len"],
                 res["s_frame"], res["s_off"], res["valid"], res["passed"],
@@ -455,7 +456,8 @@ def make_sharded_seeder(mesh: Mesh, fused):
                   P_("db", None), P_("db", None),
                   P_("q", None), P_("q"),
                   P_("q", None), P_("q", None), P_("q", None), P_("q"),
-                  P_("q", None), P_(None, None), P_(None, None)),
+                  P_("q", None), P_(None, None), P_(None, None),
+                  P_("db", None)),
         out_specs=(arr2,) * 7 + (scal,) * 4,
     )
     return jax.jit(step)

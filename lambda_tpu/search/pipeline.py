@@ -36,7 +36,7 @@ from .. import options as opt_mod
 from .. import scoring, statistics
 from ..index import artifact
 from ..io import fasta
-from ..ops import sw_xla
+from ..ops import searchsorted as ss, sw_xla
 from ..output import blast_tab
 from ..stats import StatsHolder
 from . import extend, records, seeding
@@ -182,9 +182,20 @@ class SearchContext:
                 "one device shard; increase --db-shards (or split the "
                 "database).")
         self._check_device_memory(opt)
+        # first-word prefix bucket table (ops/searchsorted.prefix_table):
+        # narrows every initial seed search from log2(P) bisection steps
+        # to ~log2(bucket size) — the seeding dispatch is gather-bound so
+        # this directly scales its device time
+        self.bucket_m = ss.pick_bucket_m(
+            idx.kmer_meta.bits, idx.kmer_meta.chars_per_word,
+            idx.kmer.num_positions if idx.kmer is not None
+            else max(s.num_positions for s in idx.kmer_shards))
         if self.db_shards * self.q_shards == 1:
             kg = idx.get_kmer(allow_partial=self.shard_subset is not None)
             self.d_keys = jnp.asarray(kg.keys)
+            self.d_bucket = jnp.asarray(ss.prefix_table(
+                kg.keys[:, 0], idx.kmer_meta.bits, self.bucket_m)) \
+                if self.bucket_m else None
             self.d_pos = jnp.asarray(kg.pos.astype(np.int32))
             self.d_frame = jnp.asarray(kg.frame.astype(np.int32))
             # single-device resident subject image; in mesh mode the
@@ -279,7 +290,14 @@ class SearchContext:
                 return jax.device_put(
                     x, NamedSharding(self.mesh, P(*axes)))
 
+            bkt = np.stack([
+                ss.prefix_table(sh["keys"][i, :, 0],
+                                idx.kmer_meta.bits, self.bucket_m)
+                for i in range(sh["keys"].shape[0])]) \
+                if self.bucket_m else np.zeros(
+                    (sh["keys"].shape[0], 1), np.int32)
             self.d_sh = dict(
+                bucket=put(bkt, "db", None),
                 keys=put(sh["keys"], "db", None, None),
                 pos=put(sh["pos"], "db", None),
                 frame=put(sh["frame"], "db", None),
@@ -434,6 +452,7 @@ class SearchContext:
                 max_hits=self.opt.max_hits_per_query_frame * 8 * scale,
                 psum_axis=psum_axis,
                 vary_axes=vary_axes,
+                bucket_m=self.bucket_m,
             )
             self._seeders[key] = (cfg, seeding.make_seeder(cfg))
         return self._seeders[key]
@@ -615,7 +634,7 @@ class SearchContext:
                     sd.d_red_q, sd.d_qlens, jnp.asarray(sd.slot_frame),
                     jnp.asarray(sd.slot_begin), jnp.asarray(sd.slot_rem),
                     jnp.zeros(sd.Q, jnp.int32), sd.d_trans_q,
-                    self.d_sub_fwd, self.d_sub_rev)
+                    self.d_sub_fwd, self.d_sub_rev, self.d_sh["bucket"])
             return
         pigeon = so.max_seed_dist >= 2
         d_red_sbj = self.d_red_sbj if pigeon else jnp.zeros(1, jnp.int8)
@@ -629,7 +648,8 @@ class SearchContext:
                             self.d_pos, self.d_frame,
                             self.d_sbj_offsets,
                             self.d_sbj_lens, self.d_trans_sbj, sd.d_trans_q,
-                            d_red_sbj, self.d_sub_fwd, self.d_sub_rev)
+                            d_red_sbj, self.d_sub_fwd, self.d_sub_rev,
+                            self.d_bucket)
 
     def collect_batch(self, sd: "_SeedDispatch", stats: StatsHolder):
         """Phase B of process_batch: pull the seeding results (retrying

@@ -167,7 +167,8 @@ def test_sharded_seeder_matches_single_device(n_db):
             put(slot_rem, P_(None, None)),
             put(np.zeros(G, np.int32), P_(None)),
             put(red_q, P_(None, None)),
-            put(subst, P_(None, None)), put(subst, P_(None, None)))
+            put(subst, P_(None, None)), put(subst, P_(None, None)),
+            put(np.zeros((n_db, 1), np.int32), P_("db", None)))
         (q_frame, q_begin, seed_len, s_frame, s_off,
          valid, passed, *_) = [np.asarray(o)[0] for o in outs]
         got = set()
