@@ -186,10 +186,14 @@ def search_main(sub: str, argv: list[str]) -> int:
                         "host — the per-host slice of a multi-host "
                         "deployment; results cover only those shards' "
                         "subjects")
-    p.add_argument("--merge-annotations", default="0", choices=("0", "1"),
+    p.add_argument("--merge-annotations", default="auto",
+                   choices=("auto", "0", "1"),
                    help="append the internal merge annotation column to "
-                        "m8 lines (multi-host runs; consumed and removed "
-                        "by tools/merge_m8 --annotated)")
+                        "m8 lines (multi-host runs; auto-detected and "
+                        "removed by tools/merge_m8).  auto: on whenever "
+                        "--shard-subset is set and the output is m8/m9, "
+                        "so the exact single-host tie order survives the "
+                        "merge by default")
     p.add_argument("--distributed", default="", metavar="ADDR,PID,N",
                    help="multi-process init: coordinator address, this "
                         "process id, total process count "
@@ -309,7 +313,7 @@ def search_main(sub: str, argv: list[str]) -> int:
     opt.shard_subset = ([int(x) for x in args.shard_subset.split(",")]
                         if args.shard_subset else None)
     opt.profile_dir = args.trace_dir
-    opt.merge_annotations = args.merge_annotations == "1"
+    opt.merge_annotations = args.merge_annotations == "1"  # auto: below
     opt.distributed = args.distributed
     opt.qry_orig_alphabet = args.input_alphabet
     if args.query_batch is not None:
@@ -328,6 +332,12 @@ def search_main(sub: str, argv: list[str]) -> int:
     # profiles overwrite manual flags (search_options.hpp:562-563)
     opt_mod.apply_profile(opt, args.profile)
     opt_mod.detect_output_format(opt)
+    # default the exact multi-host merge order (VERDICT round 3 next #7):
+    # a --shard-subset host writing m8/m9 carries the annotation column
+    # unless explicitly disabled; merge_m8 auto-detects and strips it
+    if (args.merge_annotations == "auto" and opt.shard_subset is not None
+            and opt.out_file_format == 0):
+        opt.merge_annotations = True
 
     from .search.pipeline import run_search
 

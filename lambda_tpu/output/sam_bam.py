@@ -159,12 +159,20 @@ class SamBamWriter:
         from ..index import artifact as _art
 
         if isinstance(ctx.idx.ids, _art.SubsetList):
+            # only pre-round-4 gen-2 artifacts lack the global id table
             raise RuntimeError(
-                "SAM/BAM output requires the full reference table; "
-                "--shard-subset runs must write m8/m9 and merge with "
-                "tools/merge_m8.")
+                "SAM/BAM output requires the full reference table, but "
+                "this sharded index predates the global-id layout; "
+                "recreate it with mkindex* --shards (or write m8/m9 and "
+                "merge with tools/merge_m8).")
         self.refs = [i.split(None, 1)[0] if i else i for i in ctx.idx.ids]
-        self.ref_lens = [len(s) for s in ctx.idx.seqs]
+        # @SQ lengths from the GLOBAL length table when sequences are
+        # only partially loaded (--shard-subset): the header must equal
+        # the unsharded run's (search_output.hpp:348-456)
+        self.ref_lens = (
+            [int(x) for x in ctx.idx.seq_lengths]
+            if isinstance(ctx.idx.seqs, _art.SubsetList)
+            else [len(s) for s in ctx.idx.seqs])
         if bam:
             self.fh = open(path, "wb")
             self._bgzf_buf = b""

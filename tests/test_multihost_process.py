@@ -79,7 +79,7 @@ def test_two_process_shard_run_merges_byte_identical(tie_db, tmp_path):
             [sys.executable, "-m", "lambda_tpu.cli", "searchp",
              "-q", str(q), "-i", str(lit), "-o", str(out),
              "--shard-subset", str(pid), "-n", "1000000",
-             "--merge-annotations", "1",
+             # no --merge-annotations: auto-on for --shard-subset m8 runs
              "--distributed", f"127.0.0.1:{port},{pid},2",
              "-v", "0"],
             cwd=REPO, env=env, stdout=subprocess.PIPE,
@@ -96,8 +96,8 @@ def test_two_process_shard_run_merges_byte_identical(tie_db, tmp_path):
     # annotated exact-order merge: byte-identical to the single run
     from lambda_tpu.tools import merge_m8
 
+    # annotated=False: merge auto-detects the (auto-on) annotation column
     merged = tmp_path / "merged.m8"
     merge_m8.merge([str(o) for o in outs], str(merged), max_matches=1,
-                   query_order=merge_m8._read_query_ids(str(q)),
-                   annotated=True)
+                   query_order=merge_m8._read_query_ids(str(q)))
     assert merged.read_text() == ref_text

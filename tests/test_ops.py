@@ -54,6 +54,59 @@ def test_device_search_matches_bruteforce():
         assert got == expect, f"pattern {p}"
 
 
+def test_search_range_bucketed_equals_unbucketed():
+    """The prefix bucket table is purely an accelerator: (lo, hi) must
+    equal the unbucketed search for every target — including targets
+    whose mask is SHORTER than the bucketed prefix (usable=False) and
+    indexes padded with 0xFFFFFFFF rows (sharded stacking)."""
+    rng = np.random.default_rng(11)
+    for trial, pad_rows in ((0, 0), (1, 13)):
+        seqs, concat, offsets, idx = _make_index(seed=20 + trial,
+                                                 sizes=(300, 200, 150))
+        keys_np = idx.keys
+        if pad_rows:
+            keys_np = np.concatenate(
+                [keys_np, np.full((pad_rows, idx.words), 0xFFFFFFFF,
+                                  dtype=np.uint32)])
+        n = len(keys_np)
+        m = ss.pick_bucket_m(idx.bits, idx.chars_per_word, n)
+        assert m >= 1
+        table = jnp.asarray(ss.prefix_table(keys_np[:, 0], idx.bits, m))
+        bshift = 32 - idx.bits * m
+
+        # mixed prefix lengths: shorter than m (bucket unusable), == m,
+        # longer than m, and full capacity; existing + random targets
+        lens, rows = [], []
+        for L in (max(1, m - 1), m, m + 3, min(idx.capacity, 12)):
+            for _ in range(8):
+                if rng.random() < 0.6 and idx.num_positions:
+                    r = int(rng.integers(0, idx.num_positions))
+                    chars = np.zeros(idx.capacity, np.int32)
+                    p = int(idx.pos[r])
+                    w = concat[p : p + L]
+                    chars[: len(w)] = w
+                else:
+                    chars = rng.integers(
+                        0, idx.alphabet_size, idx.capacity).astype(np.int32)
+                lens.append(L)
+                rows.append(chars)
+        chars = jnp.asarray(np.stack(rows))
+        lengths = jnp.asarray(np.array(lens, np.int32))
+        targets = kmer.pack_prefix(chars, lengths, idx.bits,
+                                   idx.chars_per_word, idx.words)
+        masks = ss.length_masks(lengths, idx.bits, idx.chars_per_word,
+                                idx.words)
+        keys = jnp.asarray(keys_np)
+        lo0 = jnp.zeros(len(lens), jnp.int32)
+        hi0 = jnp.full(len(lens), n, jnp.int32)
+        steps = ss.steps_for(n)
+        ref = ss.search_range(keys, targets, masks, lo0, hi0, steps)
+        got = ss.search_range(keys, targets, masks, lo0, hi0, steps,
+                              table, bshift)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+
 def test_pack_prefix_matches_index_keys():
     seqs, concat, offsets, idx = _make_index(seed=3)
     # key of position p with full capacity must equal index-built key

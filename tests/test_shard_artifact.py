@@ -106,10 +106,12 @@ def test_shard_subset_search_union(db_and_query):
     d, db, q = db_and_query
     lit = _mkindex(d, db, "subset", "--shards", "2")
     full = _search(d, q, lit, "subset_full", "-n", "500")
+    # annotations default ON for --shard-subset m8 runs; disable here to
+    # compare raw lines against the full run
     s0 = _search(d, q, lit, "subset0", "-n", "500",
-                 "--shard-subset", "0")
+                 "--shard-subset", "0", "--merge-annotations", "0")
     s1 = _search(d, q, lit, "subset1", "-n", "500",
-                 "--shard-subset", "1")
+                 "--shard-subset", "1", "--merge-annotations", "0")
     lf = set(full.decode().splitlines())
     l0 = set(s0.decode().splitlines())
     l1 = set(s1.decode().splitlines())
@@ -246,7 +248,41 @@ def test_seq_in_shards_memory_scales(tmp_path):
     lo = int(idx_one.shard_subj_bounds[1])
     assert idx_one.ids[lo] == idx_full.ids[lo]
     assert len(idx_one.seqs[lo]) == len(idx_full.seqs[lo])
+    # ids are GLOBAL on a partial load (tiny; they feed the SAM/BAM @SQ
+    # table); sequences outside the subset still raise
+    assert idx_one.ids[0] == idx_full.ids[0]
     with pytest.raises(KeyError):
-        idx_one.ids[0]
+        idx_one.seqs[0]
     np.testing.assert_array_equal(idx_one.trans_lengths,
                                   idx_full.trans_lengths)
+
+
+def test_shard_subset_sam_header(db_and_query):
+    """SAM under --shard-subset (round-4: @SQ from the gen-2 GLOBAL
+    id/length tables, search_output.hpp:348-456): the header equals the
+    unsharded run's byte-for-byte, records cover the subset's subjects."""
+    d, db, q = db_and_query
+    lit = _mkindex(d, db, "samsub", "--shards", "2")
+
+    def sam(tag, *extra):
+        out = d / f"out_{tag}.sam"
+        r = run_cli("searchp", "-q", str(q), "-i", str(lit), "-o",
+                    str(out), "-v", "0", "--adaptive-seeding", "0",
+                    "--sam-with-refheader", *extra)
+        assert r.returncode == 0, r.stderr
+        return out.read_text()
+
+    full = sam("samsub_full")
+    part = sam("samsub_0", "--shard-subset", "0")
+
+    def hdr(t):
+        # @PG embeds the literal command line, which necessarily differs
+        return [ln for ln in t.splitlines()
+                if ln.startswith("@") and not ln.startswith("@PG")]
+
+    def body(t):
+        return {ln for ln in t.splitlines() if not ln.startswith("@")}
+
+    assert hdr(part) == hdr(full)
+    assert any(ln.startswith("@SQ") for ln in hdr(part))
+    assert body(part) and body(part) <= body(full)
