@@ -50,15 +50,22 @@ def main() -> None:
             index_file=f"{d}/db.lit", output=f"{d}/out.m8", verbosity=0)
         ctx = pipeline.SearchContext(opt)
 
-        # homolog queries: fragments with 10% mutations
+        # BLAST-shaped query mix (VERDICT round 3 weak #6): 70% homolog
+        # fragments with 10% mutations, 30% true negatives (random
+        # sequences that should die in seeding/prescore), so the funnel
+        # — not just extension — is what's timed
         qs = []
         for i in range(n_q):
-            src = db[rng.integers(0, n_db)].seq.decode()
-            st = rng.integers(0, 250)
-            frag = list(src[st:st + 120])
-            for _ in range(12):
-                frag[rng.integers(0, len(frag))] = rng.choice(list(AA))
-            qs.append(ab.encode("".join(frag).encode(), ctx.qry_orig_alph))
+            if i % 10 < 7:
+                src = db[rng.integers(0, n_db)].seq.decode()
+                st = rng.integers(0, 250)
+                frag = list(src[st:st + 120])
+                for _ in range(12):
+                    frag[rng.integers(0, len(frag))] = rng.choice(list(AA))
+                q = "".join(frag)
+            else:
+                q = "".join(rng.choice(list(AA), 120))
+            qs.append(ab.encode(q.encode(), ctx.qry_orig_alph))
 
         B = opt.query_batch_size
         batches = [qs[i:i + B] for i in range(0, len(qs), B)]

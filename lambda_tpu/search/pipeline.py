@@ -243,6 +243,14 @@ class SearchContext:
 
         self._seeders: dict = {}
         self._d_red_sbj = None
+        # sticky per-phase budget scale: once a batch overflows the
+        # cursor/hit budgets, later batches START at the scale that
+        # fit — the overflow retry otherwise re-dispatches (and
+        # re-compiles) the walk 1->2->4->8 on EVERY batch, which was
+        # ~90% of the measured locate phase (round-4 profile).  Results
+        # are scale-invariant whenever the accepted dispatch did not
+        # overflow, so the sticky start cannot change output bytes.
+        self._budget_scale: dict = {}
 
         # --- optional database sharding over the device mesh (P7):
         # shards are derived from the already-sorted loaded index (a stable
@@ -623,9 +631,31 @@ class SearchContext:
             so=so, qry_seqs=qry_seqs, Q=Q, trans=trans, qlens=qlens,
             slot_frame=slot_frame, slot_begin=slot_begin, slot_rem=slot_rem,
             d_red_q=jnp.asarray(red_q), d_trans_q=jnp.asarray(trans_q),
-            d_qlens=jnp.asarray(qlens))
+            d_qlens=jnp.asarray(qlens),
+            scale=self._budget_scale.get(
+                (so.seed_length, so.seed_offset, so.max_seed_dist), 1))
         self._seed_device_call(sd, stats)
         return sd
+
+    def _next_scale(self, st2: dict, scale: int) -> int:
+        """Budget scale for the overflow re-dispatch: jump straight to
+        the power of two that FITS the reported overflow magnitudes
+        (the blind 1->2->4->8 walk costs one full dispatch per step).
+        The accepted program is the same whichever path reached it, so
+        output bytes are unchanged."""
+        base_c = 4096
+        base_h = int(self.opt.max_hits_per_query_frame) * 8
+        need = scale * 2
+        if st2["hits_overflow"]:
+            need = max(need, -(-(base_h * scale + st2["hits_overflow"])
+                               // base_h))
+        if st2["cursors_overflow"]:
+            need = max(need, -(-(base_c * scale + st2["cursors_overflow"])
+                               // base_c))
+        p = scale * 2
+        while p < need and p < 8:
+            p *= 2
+        return min(p, 8)
 
     def _seed_device_call(self, sd: "_SeedDispatch", stats: StatsHolder):
         """Enqueue the fused seeding dispatch for ``sd`` at its current
@@ -687,7 +717,7 @@ class SearchContext:
                            cursors_overflow=int(st_scal[3].sum()))
                 if (st2["hits_overflow"] or st2["cursors_overflow"]) \
                         and sd.scale < 8:
-                    sd.scale *= 2
+                    sd.scale = self._next_scale(st2, sd.scale)
                     self._seed_device_call(sd, stats)
                     continue
                 hits, st2 = self._sharded_collect(sd, stats)
@@ -706,10 +736,16 @@ class SearchContext:
                 hits = None
             if (st2["hits_overflow"] or st2["cursors_overflow"]) \
                     and sd.scale < 8:
-                sd.scale *= 2
+                sd.scale = self._next_scale(st2, sd.scale)
                 self._seed_device_call(sd, stats)
                 continue
             break
+        # sticky budget: later batches of this phase start at the scale
+        # that fit (monotone so racing prefetched dispatches can't
+        # shrink it)
+        key_so = (so.seed_length, so.seed_offset, so.max_seed_dist)
+        if sd.scale > self._budget_scale.get(key_so, 1):
+            self._budget_scale[key_so] = sd.scale
         stats.hits_after_seeding += st2["hits_located"]
         stats.hits_failed_pre_extend += st2["failed_prescore"]
         stats.hits_overflow += st2["hits_overflow"]
