@@ -177,6 +177,13 @@ def search_main(sub: str, argv: list[str]) -> int:
     p.add_argument("--q-shards", type=int, default=1,
                    help="data-parallel query batches over this many "
                         "devices (mesh is q-shards x db-shards)")
+    p.add_argument("--db-stream", type=int, default=1,
+                   help="stream the database through ONE device as this "
+                        "many sequential host-resident shards per query "
+                        "batch — for databases larger than device "
+                        "memory (only host RAM bounds the index, like "
+                        "the reference); output bytes are identical to "
+                        "--db-shards N")
     p.add_argument("--trace-dir", default="", metavar="DIR",
                    help="write a jax.profiler trace of the search loop "
                         "to DIR (view with tensorboard/xprof)")
@@ -310,6 +317,7 @@ def search_main(sub: str, argv: list[str]) -> int:
     opt.lazy_qry_file = args.lazy_query
     opt.db_shards = args.db_shards
     opt.q_shards = args.q_shards
+    opt.db_stream = args.db_stream
     opt.shard_subset = ([int(x) for x in args.shard_subset.split(",")]
                         if args.shard_subset else None)
     opt.profile_dir = args.trace_dir

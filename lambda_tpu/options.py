@@ -141,6 +141,11 @@ class LambdaOptions:
     threads: int = 1
     db_shards: int = 1          # database shards over the device mesh
     q_shards: int = 1           # query data-parallel mesh axis
+    # sequential host-resident database shards streamed through ONE
+    # device per query batch (databases beyond device HBM; output bytes
+    # identical to --db-shards N); the reference's envelope is host RAM
+    # (search_algo.hpp:126-155) and this restores it on an accelerator
+    db_stream: int = 1
     verbosity: int = 1
     command_line: str = ""
 

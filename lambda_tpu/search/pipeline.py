@@ -65,6 +65,8 @@ class _SeedDispatch:
     scale: int = 1          # cursor/hit budget multiplier (retry doubles)
     res2: dict | None = None   # unsharded fused outputs (device arrays)
     outs: object = None        # sharded step outputs (device arrays)
+    stream_decided: tuple | None = None  # db-stream global decisions
+    stream_outs: list | None = None      # db-stream per-shard pass-B outputs
 
 
 class SearchContext:
@@ -146,17 +148,32 @@ class SearchContext:
         # the index is sharded over a mesh; see below)
         self.db_shards = max(1, int(getattr(opt, "db_shards", 1)))
         self.q_shards = max(1, int(getattr(opt, "q_shards", 1)))
+        # --db-stream N: keep the sharded index HOST-resident and stream
+        # the shards sequentially through one device per query batch —
+        # the operational envelope the reference gets from host RAM
+        # (search_algo.hpp:126-155: RAM, not accelerator memory, bounds
+        # the database).  Output bytes are identical to --db-shards N.
+        self.db_stream = max(1, int(getattr(opt, "db_stream", 1)))
         if self.q_shards not in (1, 2, 4, 8, 16):
             raise RuntimeError("--q-shards must be a power of two <= 16 "
                                "(query batches are bucketed in multiples "
                                "of 16).")
+        if self.db_stream > 1 and self.db_shards * self.q_shards > 1:
+            raise RuntimeError("--db-stream (sequential host-resident "
+                               "shards) cannot be combined with the "
+                               "--db-shards/--q-shards device mesh.")
+        if self.db_stream > 1 and self.shard_subset is not None:
+            raise RuntimeError("--db-stream does not support "
+                               "--shard-subset; load the full index on "
+                               "this host (it only needs host RAM).")
         # device coordinates are int32; a single resident image is limited
         # to 2^31 translated characters per SHARD.  Shards split subjects
         # by COUNT (np.array_split — mesh.shard_loaded_index and the
         # mkindex --shards bounds), so bound the MAX per-shard length,
         # not the average: one huge subject can overflow its shard while
         # the mean stays under the limit.
-        if self.db_shards <= 1:
+        n_split = max(self.db_shards, self.db_stream)
+        if n_split <= 1:
             max_shard_len = int(idx.db_total_length)
         elif idx.shard_subj_bounds is not None:
             b = np.asarray(idx.shard_subj_bounds, dtype=np.int64)
@@ -171,16 +188,15 @@ class SearchContext:
             tl = np.asarray(idx.trans_lengths, dtype=np.int64)
             fps = idx.sbj_num_frames
             per_subj = tl.reshape(-1, fps).sum(axis=1)
-            groups = np.array_split(np.arange(len(per_subj)),
-                                    self.db_shards)
+            groups = np.array_split(np.arange(len(per_subj)), n_split)
             max_shard_len = max(
                 (int(per_subj[g].sum()) for g in groups if len(g)),
                 default=0)
         if max_shard_len >= 2 ** 31:
             raise RuntimeError(
                 "database exceeds 2^31 translated characters on at least "
-                "one device shard; increase --db-shards (or split the "
-                "database).")
+                "one device shard; increase --db-shards/--db-stream (or "
+                "split the database).")
         self._check_device_memory(opt)
         # first-word prefix bucket table (ops/searchsorted.prefix_table):
         # narrows every initial seed search from log2(P) bisection steps
@@ -190,7 +206,7 @@ class SearchContext:
             idx.kmer_meta.bits, idx.kmer_meta.chars_per_word,
             idx.kmer.num_positions if idx.kmer is not None
             else max(s.num_positions for s in idx.kmer_shards))
-        if self.db_shards * self.q_shards == 1:
+        if self.db_shards * self.q_shards == 1 and self.db_stream <= 1:
             kg = idx.get_kmer(allow_partial=self.shard_subset is not None)
             self.d_keys = jnp.asarray(kg.keys)
             self.d_bucket = jnp.asarray(ss.prefix_table(
@@ -240,6 +256,43 @@ class SearchContext:
                     f"--seed-length {so.seed_length} exceeds this index's "
                     f"key capacity ({cap} characters); rebuild the index "
                     "with more --kmer-words or use a shorter seed.")
+
+        # --- database streaming (one device, N sequential host shards):
+        # the SAME shard derivation as the mesh path (subject-contiguous,
+        # never splitting a subject) so --db-stream N output bytes equal
+        # --db-shards N; shard tensors stay host numpy and are uploaded
+        # per pass by _stream_seed_call
+        self.stream_sh = None
+        if self.db_stream > 1:
+            from ..parallel import mesh as pmesh
+
+            if idx.kmer_shards and len(idx.kmer_shards) == self.db_stream:
+                sh = pmesh.shard_prebuilt_index(idx, self._reduced_concat())
+            else:
+                sh = pmesh.shard_loaded_index(
+                    idx.get_kmer(allow_partial=False), idx.trans_concat,
+                    self._reduced_concat(), idx.trans_offsets,
+                    idx.trans_lengths, self.db_stream,
+                    frames_per_subject=self.sbj_num_frames)
+            self.stream_sh = sh
+            self.stream_base = sh["base"]
+            self.stream_bucket = (np.stack([
+                ss.prefix_table(sh["keys"][i, :, 0], idx.kmer_meta.bits,
+                                self.bucket_m)
+                for i in range(sh["keys"].shape[0])])
+                if self.bucket_m else None)
+            self._stream_seeders: dict = {}
+
+        # row count the seeder configs bisect over (an upper bound is
+        # enough — search_range exits early): per-shard padded rows when
+        # streaming, global rows otherwise
+        if self.stream_sh is not None:
+            self._cfg_n_rows = int(self.stream_sh["keys"].shape[1])
+        else:
+            self._cfg_n_rows = (idx.kmer.num_positions
+                                if idx.kmer is not None else
+                                max(s.num_positions
+                                    for s in idx.kmer_shards))
 
         self._seeders: dict = {}
         self._d_red_sbj = None
@@ -327,7 +380,8 @@ class SearchContext:
         kbytes = (km.keys.nbytes + km.pos.nbytes * 2) if km is not None \
             else sum(s.keys.nbytes + s.pos.nbytes * 2
                      for s in idx.kmer_shards)
-        need = (kbytes + len(idx.trans_concat)) // max(self.db_shards, 1)
+        need = (kbytes + len(idx.trans_concat)) \
+            // max(self.db_shards, self.db_stream, 1)
         # dominant transient (missed by the round-2 preflight): the banded
         # substitution image of the extension score pass.  Nominal bucket:
         # the per-batch hit budget at the flagship (qlen 256, band 39)
@@ -453,9 +507,7 @@ class SearchContext:
                 bits=self.idx.kmer_meta.bits,
                 cpw=self.idx.kmer_meta.chars_per_word,
                 words=self.idx.kmer_meta.words,
-                n_rows=self.idx.kmer.num_positions
-                if self.idx.kmer is not None else
-                max(s.num_positions for s in self.idx.kmer_shards),
+                n_rows=self._cfg_n_rows,
                 max_cursors=4096 * scale,
                 max_hits=self.opt.max_hits_per_query_frame * 8 * scale,
                 psum_axis=psum_axis,
@@ -464,6 +516,16 @@ class SearchContext:
             )
             self._seeders[key] = (cfg, seeding.make_seeder(cfg))
         return self._seeders[key]
+
+    def stream_seeder_for(self, so: opt_mod.SearchOpts, scale: int = 1):
+        """Jitted db-streaming passes for a phase config (budgets are
+        PER SHARD, like the mesh path's per-device budgets)."""
+        key = (so.seed_length, so.seed_offset, so.max_seed_dist, scale)
+        if key not in self._stream_seeders:
+            cfg, _ = self.seeder_for(so, scale)
+            self._stream_seeders[key] = (seeding.make_stream_seeder(cfg),
+                                         cfg)
+        return self._stream_seeders[key]
 
     def sharded_step_for(self, so: opt_mod.SearchOpts, scale: int = 1):
         from ..parallel import mesh as pmesh
@@ -657,10 +719,83 @@ class SearchContext:
             p *= 2
         return min(p, 8)
 
+    def _stream_seed_call(self, sd: "_SeedDispatch", stats: StatsHolder):
+        """Database-streaming seeding for one batch: pass A per shard
+        (local count curves / verified counts) accumulated ON DEVICE,
+        one global decide, pass B per shard with the decisions forced
+        (seeding.make_stream_seeder).  Shard tensors are uploaded per
+        pass and released after use — per-batch device residency is one
+        shard plus the hit buffers, never the whole index.
+
+        LAMBDA_STREAM_SYNC=0 skips the per-shard block_until_ready that
+        bounds how many shard uploads can be in flight (faster on
+        direct-attached hardware with HBM headroom)."""
+        import os as _os
+
+        import jax
+
+        so = sd.so
+        strm, _cfg = self.stream_seeder_for(so, sd.scale)
+        sh = self.stream_sh
+        D = sh["keys"].shape[0]
+        slot_args = (sd.d_red_q, sd.d_qlens, jnp.asarray(sd.slot_frame),
+                     jnp.asarray(sd.slot_begin), jnp.asarray(sd.slot_rem))
+        h0 = jnp.zeros(sd.Q, jnp.int32)
+        sync = _os.environ.get("LAMBDA_STREAM_SYNC", "1") != "0"
+
+        def shard_tensors(i):
+            return (jnp.asarray(sh["keys"][i]),
+                    jnp.asarray(sh["pos"][i]), jnp.asarray(sh["frame"][i]),
+                    jnp.asarray(sh["offsets"][i]),
+                    jnp.asarray(sh["lengths"][i]),
+                    jnp.asarray(sh["trans"][i]), jnp.asarray(sh["red"][i]),
+                    jnp.asarray(self.stream_bucket[i])
+                    if self.stream_bucket is not None else None)
+
+        with stats.timed("time_seed"):
+            if sd.stream_decided is None:
+                acc = None
+                for i in range(D):
+                    keys, pos, frame, offs, lens, trans, red, bkt = \
+                        shard_tensors(i)
+                    if strm["pigeon"]:
+                        c = strm["pass_a"](
+                            keys, *slot_args, h0, pos, frame, offs, lens,
+                            trans, sd.d_trans_q, red, self.d_sub_fwd,
+                            self.d_sub_rev, bkt)
+                    else:
+                        c = strm["pass_a"](keys, *slot_args, bkt)
+                    acc = c if acc is None else acc + c
+                    if sync:
+                        jax.block_until_ready(acc)
+                sd.stream_decided = strm["decide"](
+                    acc, sd.d_qlens, jnp.asarray(sd.slot_frame),
+                    jnp.asarray(sd.slot_begin), jnp.asarray(sd.slot_rem),
+                    h0)
+            if strm["pigeon"]:
+                L_d, keep_d = sd.stream_decided
+                forced = (keep_d, L_d)
+            else:
+                forced = sd.stream_decided
+            outs = []
+            for i in range(D):
+                keys, pos, frame, offs, lens, trans, red, bkt = \
+                    shard_tensors(i)
+                res = strm["pass_b"](
+                    keys, *slot_args, h0, pos, frame, offs, lens, trans,
+                    sd.d_trans_q, red, self.d_sub_fwd, self.d_sub_rev,
+                    *forced, bkt)
+                outs.append(res)
+                if sync:
+                    jax.block_until_ready(res["stats_vec"])
+            sd.stream_outs = outs
+
     def _seed_device_call(self, sd: "_SeedDispatch", stats: StatsHolder):
         """Enqueue the fused seeding dispatch for ``sd`` at its current
         budget scale (async: nothing is pulled here)."""
         so = sd.so
+        if self.db_stream > 1:
+            return self._stream_seed_call(sd, stats)
         if self.mesh is not None:
             step = self.sharded_step_for(so, sd.scale)
             with stats.timed("time_seed"):
@@ -703,7 +838,49 @@ class SearchContext:
         # fixed cursor/hit budgets overflow (the reference has no budgets,
         # it just allocates), retry with doubled budgets up to 8x before
         # accepting truncation.
+        stream_packed = None
         while True:
+            if self.db_stream > 1:
+                # per-shard stats vectors decide the retry (the packed
+                # payloads move only after the budgets are accepted)
+                with stats.timed("time_locate"):
+                    svs = [np.asarray(r["stats_vec"])
+                           for r in sd.stream_outs]
+                sv = np.stack(svs).astype(np.int64)
+                st2 = dict(hits_located=int(sv[:, 0].sum()),
+                           hits_overflow=int(sv[:, 1].sum()),
+                           failed_prescore=int(sv[:, 2].sum()),
+                           cursors_overflow=int(sv[:, 3].sum()))
+                if (st2["hits_overflow"] or st2["cursors_overflow"]) \
+                        and sd.scale < 8:
+                    sd.scale = self._next_scale(st2, sd.scale)
+                    if self.stream_seeder_for(sd.so, sd.scale)[0]["pigeon"]:
+                        # pigeon pass A's counts were budget-truncated:
+                        # the decisions must be recomputed at the new
+                        # scale (curve decisions are budget-free)
+                        sd.stream_decided = None
+                    self._seed_device_call(sd, stats)
+                    continue
+                # pull the packed hits per shard, concatenated in shard
+                # order (the same shard-major order the mesh collect
+                # produces); local subject-frame ids -> global
+                rows = []
+                with stats.timed("time_locate"):
+                    for i, r in enumerate(sd.stream_outs):
+                        n_i = int(svs[i][4])
+                        if n_i == 0:
+                            continue
+                        nb = min(extend._bucket(n_i),
+                                 int(r["packed"].shape[0]))
+                        p = np.asarray(r["packed"][:nb])[:n_i] \
+                            .astype(np.int64)
+                        p[:, 0] += int(self.stream_base[i])
+                        rows.append(p)
+                stream_packed = (np.concatenate(rows, axis=0) if rows
+                                 else np.zeros((0, 4), np.int64))
+                hits = None
+                n_sel = len(stream_packed)
+                break
             if self.mesh is not None:
                 # stats-only transfer decides the retry (same policy as
                 # the unsharded branch below): pulling the full (Qm, Dm,
@@ -769,10 +946,14 @@ class SearchContext:
         else:
             if n_sel == 0:
                 return {}
-            nb = min(extend._bucket(n_sel), int(res2["packed"].shape[0]))
-            with stats.timed("time_locate"):
-                packed = np.asarray(res2["packed"][:nb])[:n_sel] \
-                    .astype(np.int64)
+            if stream_packed is not None:
+                packed = stream_packed
+            else:
+                nb = min(extend._bucket(n_sel),
+                         int(res2["packed"].shape[0]))
+                with stats.timed("time_locate"):
+                    packed = np.asarray(res2["packed"][:nb])[:n_sel] \
+                        .astype(np.int64)
             seed_len = packed[:, 3] & 0xFF
             stats.add_seed_lens(seed_len)
             m = extend.MatchBatch(
@@ -800,9 +981,13 @@ class SearchContext:
                 # distributed pass 1: per-shard window gather + banded SW
                 # on shard-local subject tensors
                 scores = self._sharded_scores(m, d_trans_q, gf, ge)
-            elif extend._use_pallas():
+            elif extend._use_pallas() and self.db_stream <= 1:
                 # fully device-resident score pass (windows gathered from
-                # the resident query/subject tensors)
+                # the resident query/subject tensors).  In --db-stream
+                # mode the subject concat is NOT device-resident:
+                # _run_bucketed below gathers windows from the host
+                # concat (host RAM is the streaming envelope) and still
+                # dispatches the Pallas kernel on them.
                 scores = extend.sw_scores_device(
                     m, d_trans_q, self.d_trans_sbj, self.d_sbj_offsets,
                     self.d_sbj_lens, self.e8_fwd, self.e8_rev, gf, ge,

@@ -164,9 +164,86 @@ def compute_seed_slots(trans_frames: list[np.ndarray], qry_num_frames: int,
                                                  frames_too_short)
 
 
-def make_seeder(cfg: SeedConfig):
-    """Build the two jitted stages for a config.  Device arrays are passed
-    as arguments so one compilation serves all batches.
+def _seed_mode(cfg: SeedConfig):
+    """Static seed-mode constants shared by make_seeder and
+    make_stream_seeder: (pigeon, chunk_off, chunk_len, verify_from, V,
+    positions, replacements)."""
+    k = cfg.seed_length
+    pigeon = cfg.max_seed_dist >= 2
+    if pigeon:
+        if cfg.half_exact:
+            # searchHalfExactImpl semantics (search_algo.hpp:537-604):
+            # errors confined to the second half -> the exact first half
+            # is the one anchor, verification covers [k//2, k) only
+            chunk_off = np.array([0], dtype=np.int32)
+            chunk_len = np.array([k // 2], dtype=np.int32)
+            verify_from = k // 2
+        else:
+            chunk_off, chunk_len = kmer.pigeon_chunks(k, cfg.max_seed_dist)
+            verify_from = 0
+        return pigeon, chunk_off, chunk_len, verify_from, len(chunk_off), \
+            None, None
+    positions, replacements = kmer.variant_table(
+        cfg.seed_length, cfg.max_seed_dist, cfg.alphabet_size,
+        cfg.half_exact)
+    return pigeon, None, None, 0, len(positions), positions, replacements
+
+
+def _pigeon_slot_walk(cfg: SeedConfig, cnt3, tq_lens, slot_frame_T,
+                      slot_begin_T, slot_rem_T, hits0, vq):
+    """Adaptive elongation-by-verification slot walk over GLOBAL verified
+    counts (the cursor extendRight accept/revert loop of
+    search_algo.hpp:679-726 replayed on per-slot survivor-count curves).
+    Shared by stage2 (single-device / mesh-psum'd counts) and the
+    db-streaming decide pass (host-accumulated counts), so the decision
+    semantics cannot diverge between deployment modes.
+
+    cnt3: (T, Q, E+1) counts; slot_*_T: (T, Q); hits0: (Q,) carried
+    hitsThisSeq; vq: variance-cast for constant-derived carries (identity
+    when not under shard_map).  Returns (L_T, keep_T): (T, Q) accepted
+    elongation lengths and keep masks."""
+    k = cfg.seed_length
+    E = cfg.ext_max
+    mm = cfg.max_matches
+
+    def slot_step(hts, inp):
+        cnt_t, g_t, b_t, rem_t = inp
+        valid_t = g_t >= 0
+        flen = tq_lens[jnp.maximum(g_t, 0)]
+        desired = jnp.where(
+            hts >= mm, 1,
+            jnp.maximum((mm - hts) * cfg.heuristic_factor
+                        // jnp.maximum(rem_t, 1), 1))
+
+        def e_body(e, st):
+            L, gcnt, frozen = st
+            c2 = cnt_t[:, e + 1]
+            can = (~frozen) & (b_t + k + e < flen) & (gcnt > 0)
+            revert = (c2 < desired) & (c2 < gcnt)
+            accept = can & ~revert
+            frozen = frozen | (can & revert) | ~can
+            L = jnp.where(accept, L + 1, L)
+            gcnt = jnp.where(accept, c2, gcnt)
+            return L, gcnt, frozen
+
+        Qd = g_t.shape[0]
+        L, gcnt, _ = jax.lax.fori_loop(
+            0, E, e_body,
+            (vq(jnp.zeros(Qd, jnp.int32)), cnt_t[:, 0],
+             vq(jnp.zeros(Qd, bool))))
+        keep_t = valid_t & (gcnt > 0) & (gcnt <= cfg.occ_cap)
+        hts = hts + jnp.where(keep_t, gcnt, 0)
+        return hts, (L, keep_t)
+
+    return jax.lax.scan(slot_step, hits0,
+                        (cnt3, slot_frame_T, slot_begin_T, slot_rem_T))[1]
+
+
+def _build_seeder_impls(cfg: SeedConfig) -> dict:
+    """Build the (unjitted) seeder programs for a config.  Device arrays
+    are passed as arguments so one compilation serves all batches.
+    Public entry points: :func:`make_seeder` (stage1/stage2/fused) and
+    :func:`make_stream_seeder` (db-streaming passes).
 
     delta <= 1 seeds enumerate explicit variants (search_impl /
     searchHalfExactImpl equivalents); delta >= 2 uses PIGEONHOLE seeding
@@ -184,25 +261,8 @@ def make_seeder(cfg: SeedConfig):
     equivalent)."""
 
     k = cfg.seed_length
-    pigeon = cfg.max_seed_dist >= 2
-    if pigeon:
-        if cfg.half_exact:
-            # searchHalfExactImpl semantics (search_algo.hpp:537-604):
-            # errors confined to the second half -> the exact first half
-            # is the one anchor, verification covers [k//2, k) only
-            chunk_off = np.array([0], dtype=np.int32)
-            chunk_len = np.array([k // 2], dtype=np.int32)
-            verify_from = k // 2
-        else:
-            chunk_off, chunk_len = kmer.pigeon_chunks(k, cfg.max_seed_dist)
-            verify_from = 0
-        V = len(chunk_off)
-        positions = replacements = None
-    else:
-        positions, replacements = kmer.variant_table(
-            cfg.seed_length, cfg.max_seed_dist, cfg.alphabet_size,
-            cfg.half_exact)
-        V = len(positions)
+    pigeon, chunk_off, chunk_len, verify_from, V, positions, replacements \
+        = _seed_mode(cfg)
     bits, cpw, words = cfg.bits, cfg.cpw, cfg.words
 
     def stage1_impl(keys, red_q, qlens, slot_frame, slot_begin,
@@ -401,13 +461,20 @@ def make_seeder(cfg: SeedConfig):
                     cur_lo, cur_count, cur_seedlen, cur_frame, cur_begin,
                     cur_shift, cur_slot, slot_zeros, slot_frame_d,
                     slot_begin_d, slot_rem_d, hits0, red_q, red_sbj,
-                    subst_fwd, subst_rev):
+                    subst_fwd, subst_rev, forced_keep=None, forced_L=None,
+                    emit_cnt=False):
         """Flat locate (+ pigeonhole verification) + prescore.
 
         cur_*: (C,) compacted cursor arrays (count>0), C static = max_cursors.
         red_q/red_sbj: reduced-alphabet query frames / subject concat
         (used only in pigeonhole mode for the mismatch verification).
         Returns per-hit arrays of length cfg.max_hits + pass flags + stats.
+
+        Streaming hooks (make_stream_seeder; both pigeonhole-only):
+        ``emit_cnt=True`` returns the shard-LOCAL per-slot verified-count
+        matrix (Q*T, E+1) instead of hits (pass A); ``forced_keep``/
+        ``forced_L`` replace the locally-computed (psum'd) abundance/
+        elongation decisions with host-accumulated global ones (pass B).
         """
         C = cur_lo.shape[0]
         Hn = cfg.max_hits
@@ -514,59 +581,42 @@ def make_seeder(cfg: SeedConfig):
                                                tq_lens.shape[0] - 1)][:, None])
                 ext_cum = jnp.cumprod(okch.astype(jnp.int32), axis=1)
                 ext_len = jnp.sum(ext_cum, axis=1)              # (Hn,)
-                upd = vi[:, None] * jnp.concatenate(
-                    [jnp.ones((Hn, 1), jnp.int32), ext_cum], axis=1)
-                cnt = jnp.zeros((Qd * Td, E + 1), jnp.int32) \
-                    .at[slot].add(upd)
-                if cfg.psum_axis:
-                    cnt = jax.lax.psum(cnt, cfg.psum_axis)
+                if emit_cnt:
+                    upd = vi[:, None] * jnp.concatenate(
+                        [jnp.ones((Hn, 1), jnp.int32), ext_cum], axis=1)
+                    return jnp.zeros((Qd * Td, E + 1), jnp.int32) \
+                        .at[slot].add(upd)
+                if forced_keep is not None:
+                    L_dense, keep_dense = forced_L, forced_keep
+                else:
+                    upd = vi[:, None] * jnp.concatenate(
+                        [jnp.ones((Hn, 1), jnp.int32), ext_cum], axis=1)
+                    cnt = jnp.zeros((Qd * Td, E + 1), jnp.int32) \
+                        .at[slot].add(upd)
+                    if cfg.psum_axis:
+                        cnt = jax.lax.psum(cnt, cfg.psum_axis)
 
-                cnt3 = cnt.reshape(Qd, Td, E + 1).transpose(1, 0, 2)
-                mm = cfg.max_matches
-
-                def slot_step(hts, inp):
-                    cnt_t, g_t, b_t, rem_t = inp
-                    valid_t = g_t >= 0
-                    flen = tq_lens[jnp.maximum(g_t, 0)]
-                    desired = jnp.where(
-                        hts >= mm, 1,
-                        jnp.maximum((mm - hts) * cfg.heuristic_factor
-                                    // jnp.maximum(rem_t, 1), 1))
-
-                    def e_body(e, st):
-                        L, gcnt, frozen = st
-                        c2 = cnt_t[:, e + 1]
-                        can = (~frozen) & (b_t + k + e < flen) & (gcnt > 0)
-                        revert = (c2 < desired) & (c2 < gcnt)
-                        accept = can & ~revert
-                        frozen = frozen | (can & revert) | ~can
-                        L = jnp.where(accept, L + 1, L)
-                        gcnt = jnp.where(accept, c2, gcnt)
-                        return L, gcnt, frozen
-
-                    L, gcnt, _ = jax.lax.fori_loop(
-                        0, E, e_body,
-                        (_vq(jnp.zeros(Qd, jnp.int32)), cnt_t[:, 0],
-                         _vq(jnp.zeros(Qd, bool))))
-                    keep_t = valid_t & (gcnt > 0) & (gcnt <= cfg.occ_cap)
-                    hts = hts + jnp.where(keep_t, gcnt, 0)
-                    return hts, (L, keep_t)
-
-                # hits0 is an input (already q-varying under shard_map)
-                _, (L_T, keep_T) = jax.lax.scan(
-                    slot_step, hits0,
-                    (cnt3, slot_frame_d.T, slot_begin_d.T, slot_rem_d.T))
-                L_dense = L_T.T.reshape(Qd * Td)
-                keep_dense = keep_T.T.reshape(Qd * Td)
+                    cnt3 = cnt.reshape(Qd, Td, E + 1).transpose(1, 0, 2)
+                    # hits0 is an input (already q-varying under shard_map)
+                    L_T, keep_T = _pigeon_slot_walk(
+                        cfg, cnt3, tq_lens, slot_frame_d.T, slot_begin_d.T,
+                        slot_rem_d.T, hits0, _vq)
+                    L_dense = L_T.T.reshape(Qd * Td)
+                    keep_dense = keep_T.T.reshape(Qd * Td)
                 L_h = L_dense[slot]
                 hit_valid = hit_valid & keep_dense[slot] & (ext_len >= L_h)
                 slen_seed = jnp.where(hit_valid, k + L_h, slen_seed)
             else:
-                occ_dense = slot_zeros.at[slot].add(vi)
-                if cfg.psum_axis:
-                    occ_dense = jax.lax.psum(occ_dense, cfg.psum_axis)
-                abundant = occ_dense[slot] > cfg.occ_cap
-                hit_valid = hit_valid & ~abundant
+                if emit_cnt:
+                    return slot_zeros.at[slot].add(vi)[:, None]
+                if forced_keep is not None:
+                    hit_valid = hit_valid & forced_keep[slot]
+                else:
+                    occ_dense = slot_zeros.at[slot].add(vi)
+                    if cfg.psum_axis:
+                        occ_dense = jax.lax.psum(occ_dense, cfg.psum_axis)
+                    abundant = occ_dense[slot] > cfg.occ_cap
+                    hit_valid = hit_valid & ~abundant
 
         if cfg.pre_scoring > 0:
             # seedLooksPromising (search_algo.hpp:426-481)
@@ -640,23 +690,12 @@ def make_seeder(cfg: SeedConfig):
                     s_frame=sframe, s_off=s_off,
                     valid=hit_valid, passed=passed, stats=stats)
 
-    def fused_impl(keys, red_q, qlens, slot_frame, slot_begin,
-                   slot_rem, hits_this_seq0,
-                   kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
-                   trans_sbj, trans_q, red_sbj, subst_fwd, subst_rev,
-                   bucket=None):
-        """stage1 -> on-device cursor compaction -> stage2, one dispatch.
-
-        Replaces the host round-trip of the full (Q, T*V) cursor arrays
-        (several MB per batch) with a stable device compaction down to
-        cfg.max_cursors rows; only the final hit arrays leave the device.
-        """
-        cur = stage1_impl(keys, red_q, qlens, slot_frame,
-                          slot_begin, slot_rem, hits_this_seq0, bucket)
+    def _compact(cur):
+        """Stable device cursor compaction (valid cursors first, original
+        order preserved — matches the host compaction exactly).  Returns
+        (take, n_valid): take(name) yields the compacted (C,) array."""
         count = cur["count"].reshape(-1)
         valid = count > 0
-        # stable partition: valid cursors first, original order preserved
-        # (matches the host compaction exactly)
         order = jnp.argsort(jnp.where(valid, 0, 1).astype(jnp.int8),
                             stable=True)
         C = cfg.max_cursors
@@ -669,21 +708,14 @@ def make_seeder(cfg: SeedConfig):
             x = jnp.pad(x, (0, C - c_eff))
             return jnp.where(jnp.arange(C) < n_valid, x, 0)
 
-        Q, T = slot_frame.shape
-        res = stage2_impl(kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
-                          trans_sbj, trans_q, qlens,
-                          take("lo"), take("count"), take("seed_len"),
-                          take("frame"), take("begin"), take("shift"),
-                          take("slot"), jnp.zeros(Q * T, jnp.int32),
-                          slot_frame, slot_begin, slot_rem, hits_this_seq0,
-                          red_q, red_sbj, subst_fwd, subst_rev)
-        res["stats"]["cursors_overflow"] = jnp.maximum(n_valid - C, 0)
+        return take, n_valid
 
-        # --- D2H shrink: compact the (valid & passed) hits on device and
-        # bit-pack them to 16 bytes/hit; the host transfers ONE small
-        # stats vector plus a bucketed slice of `packed` instead of the
-        # full 7-column hit arrays (the transfer dominated e2e time on
-        # remote-attached chips — VERDICT round 2, missing #1)
+    def _pack(res):
+        """D2H shrink: compact the (valid & passed) hits on device and
+        bit-pack them to 16 bytes/hit; the host transfers ONE small
+        stats vector plus a bucketed slice of `packed` instead of the
+        full 7-column hit arrays (the transfer dominated e2e time on
+        remote-attached chips — VERDICT round 2, missing #1)."""
         sel = res["valid"] & res["passed"]
         h_order = jnp.argsort(jnp.where(sel, 0, 1).astype(jnp.int8),
                               stable=True)
@@ -700,4 +732,350 @@ def make_seeder(cfg: SeedConfig):
              n_sel]).astype(jnp.int32)
         return res
 
-    return jax.jit(stage1_impl), jax.jit(stage2_impl), jax.jit(fused_impl)
+    def fused_impl(keys, red_q, qlens, slot_frame, slot_begin,
+                   slot_rem, hits_this_seq0,
+                   kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
+                   trans_sbj, trans_q, red_sbj, subst_fwd, subst_rev,
+                   bucket=None):
+        """stage1 -> on-device cursor compaction -> stage2, one dispatch.
+
+        Replaces the host round-trip of the full (Q, T*V) cursor arrays
+        (several MB per batch) with a stable device compaction down to
+        cfg.max_cursors rows; only the final hit arrays leave the device.
+        """
+        cur = stage1_impl(keys, red_q, qlens, slot_frame,
+                          slot_begin, slot_rem, hits_this_seq0, bucket)
+        take, n_valid = _compact(cur)
+        Q, T = slot_frame.shape
+        res = stage2_impl(kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
+                          trans_sbj, trans_q, qlens,
+                          take("lo"), take("count"), take("seed_len"),
+                          take("frame"), take("begin"), take("shift"),
+                          take("slot"), jnp.zeros(Q * T, jnp.int32),
+                          slot_frame, slot_begin, slot_rem, hits_this_seq0,
+                          red_q, red_sbj, subst_fwd, subst_rev)
+        res["stats"]["cursors_overflow"] = jnp.maximum(n_valid - C_MAX, 0)
+        return _pack(res)
+
+    C_MAX = cfg.max_cursors
+
+    # ------------------------------------------------------------------
+    # Database-streaming passes (make_stream_seeder): the decisions that
+    # are psums under a device mesh become a device-accumulated sum over
+    # SEQUENTIAL shard passes — same integers, so byte-identical output.
+    # ------------------------------------------------------------------
+
+    E_CURVE = cfg.ext_max if (cfg.adaptive and cfg.ext_max > 0
+                              and not pigeon) else 0
+
+    def curve_impl(keys, red_q, qlens, slot_frame, slot_begin,
+                   slot_rem, bucket=None):
+        """Stream pass A (delta <= 1): per-cursor occurrence-count CURVES.
+
+        curve[q, t, v, e] = number of local index rows matching variant v
+        of slot (q, t) extended by its next ``e`` query characters — a
+        pure function of the query and the shard, independent of any
+        decision, so curves simply ADD across shards.  The adaptive
+        accept/revert walk only ever consults consecutive extensions of
+        the accepted string (freeze is permanent on the first non-accept,
+        search_algo.hpp:679-726), so the curve contains every count the
+        single-index walk would observe.  No cursor/hit budgets: the
+        output shape is the full (Q, T, V, E+1).
+        """
+        bkt = bucket if (cfg.bucket_m and bucket is not None) else None
+        bsh = cfg.bucket_shift if bkt is not None else None
+        P = keys.shape[0]
+        Q, T = slot_frame.shape
+
+        def step(_, slot):
+            g, begin, rem = slot
+            valid_slot = g >= 0
+            gs = jnp.maximum(g, 0)
+            idx = begin[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+            chars = red_q[gs[:, None], jnp.clip(idx, 0, red_q.shape[1] - 1)]
+            variants, vvalid = kmer.make_variants(chars, positions,
+                                                  replacements)
+            vvalid = vvalid & valid_slot[:, None]
+            targets = kmer.pack_prefix(
+                variants, jnp.full((Q, V), k, jnp.int32), bits, cpw, words)
+            masks = ss.length_masks(jnp.full((Q, V), k, jnp.int32),
+                                    bits, cpw, words)
+            lo, hi = ss.search_range(
+                keys, targets.reshape(Q * V, words),
+                masks.reshape(Q * V, words),
+                jnp.zeros(Q * V, jnp.int32), jnp.full(Q * V, P, jnp.int32),
+                cfg.n_steps, bkt, bsh)
+            lo = lo.reshape(Q, V)
+            hi = hi.reshape(Q, V)
+            count0 = jnp.where(vvalid, hi - lo, 0)
+            if E_CURVE == 0:
+                return 0, count0[:, :, None]
+
+            def ext_step(carry, _e):
+                tgt, lo_c, hi_c, slen = carry
+                nxt_pos = begin[:, None] + slen
+                ch = red_q[gs[:, None],
+                           jnp.clip(nxt_pos, 0, red_q.shape[1] - 1)]
+                tgt2 = kmer.append_char(tgt, slen, ch.astype(jnp.int32),
+                                        bits, cpw, words)
+                msk2 = ss.length_masks(slen + 1, bits, cpw, words)
+                lo2, hi2 = ss.search_range(
+                    keys, tgt2.reshape(Q * V, words),
+                    msk2.reshape(Q * V, words),
+                    lo_c.reshape(Q * V), hi_c.reshape(Q * V), cfg.n_steps)
+                lo2 = lo2.reshape(Q, V)
+                hi2 = hi2.reshape(Q, V)
+                cnt = jnp.where(vvalid, hi2 - lo2, 0)
+                return (tgt2, lo2, hi2, slen + 1), cnt
+
+            slen0 = jnp.full((Q, V), k, jnp.int32)
+            _, cnts = jax.lax.scan(ext_step, (targets, lo, hi, slen0),
+                                   jnp.arange(E_CURVE))
+            curve = jnp.concatenate([count0[None], cnts], axis=0)
+            return 0, jnp.transpose(curve, (1, 2, 0))     # (Q, V, E+1)
+
+        slots = (slot_frame.T, slot_begin.T, slot_rem.T)
+        _, curves = jax.lax.scan(step, 0, slots)          # (T, Q, V, E+1)
+        return jnp.transpose(curves, (1, 0, 2, 3))
+
+    def curve_decide_impl(curves, qlens, slot_frame, slot_begin,
+                          slot_rem, hits0):
+        """Stream decide (delta <= 1): replay the stage-1 adaptive walk +
+        abundance cutoff on GLOBAL (shard-summed) count curves — the same
+        decision sequence the single-index while-loop takes, including
+        the desiredOccs/hitsThisSeq feedback across the query's slots in
+        schedule order.  Returns (seed_len, keep_global): (Q, T, V)."""
+        Q, T = slot_frame.shape
+        Ecv = curves.shape[-1] - 1
+
+        def step(hts, inp):
+            curve_t, g, begin, rem = inp       # (Q, V, E+1), (Q,) x3
+            gs = jnp.maximum(g, 0)
+            gcnt0 = curve_t[:, :, 0]
+            if Ecv > 0:
+                frame_len = qlens[gs]
+                desired = jnp.where(
+                    hts >= cfg.max_matches, 1,
+                    jnp.maximum(
+                        (cfg.max_matches - hts) * cfg.heuristic_factor
+                        // jnp.maximum(rem, 1), 1))
+
+                def body(e, st):
+                    jj, gcnt, frozen = st
+                    nxt_pos = begin[:, None] + k + e
+                    can = (~frozen) & (nxt_pos < frame_len[:, None]) \
+                        & (k + e < cfg.capacity) & (gcnt > 0)
+                    c2 = jax.lax.dynamic_index_in_dim(
+                        curve_t, e + 1, axis=2, keepdims=False)
+                    revert = (c2 < desired[:, None]) & (c2 < gcnt)
+                    accept = can & ~revert
+                    frozen = frozen | (can & revert) | ~can
+                    jj = jnp.where(accept, jj + 1, jj)
+                    gcnt = jnp.where(accept, c2, gcnt)
+                    return jj, gcnt, frozen
+
+                jj, gcnt, _ = jax.lax.fori_loop(
+                    0, Ecv, body,
+                    (jnp.zeros((Q, V), jnp.int32), gcnt0,
+                     jnp.zeros((Q, V), bool)))
+            else:
+                jj = jnp.zeros((Q, V), jnp.int32)
+                gcnt = gcnt0
+            # stage1's keep = (local count > 0) & (gcount <= occ_cap):
+            # the global half decides here; pass B applies the local half
+            keep = gcnt <= cfg.occ_cap
+            gkeep = (gcnt > 0) & keep
+            hts = hts + jnp.where(gkeep, gcnt, 0).sum(axis=1)
+            return hts, (k + jj, keep)
+
+        _, (slen_T, keep_T) = jax.lax.scan(
+            step, hits0, (jnp.transpose(curves, (1, 0, 2, 3)),
+                          slot_frame.T, slot_begin.T, slot_rem.T))
+        return (jnp.transpose(slen_T, (1, 0, 2)),
+                jnp.transpose(keep_T, (1, 0, 2)))
+
+    def stage1_forced_impl(keys, red_q, qlens, slot_frame, slot_begin,
+                           slot_rem, f_len, f_keep, bucket=None):
+        """Stream pass B stage 1 (delta <= 1): search each cursor's
+        DECIDED string (variant + accepted elongation chars) at its
+        decided length in the local shard — one bisection per cursor, no
+        walk.  Emits the same cursor dict as stage1_impl."""
+        bkt = bucket if (cfg.bucket_m and bucket is not None) else None
+        bsh = cfg.bucket_shift if bkt is not None else None
+        P = keys.shape[0]
+        Q, T = slot_frame.shape
+
+        def step(_, slot):
+            g, begin, fl, fk = slot
+            valid_slot = g >= 0
+            gs = jnp.maximum(g, 0)
+            idx = begin[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+            chars = red_q[gs[:, None], jnp.clip(idx, 0, red_q.shape[1] - 1)]
+            variants, vvalid = kmer.make_variants(chars, positions,
+                                                  replacements)
+            vvalid = vvalid & valid_slot[:, None]
+            if E_CURVE > 0:
+                eidx = begin[:, None] + k \
+                    + jnp.arange(E_CURVE, dtype=jnp.int32)[None, :]
+                ech = red_q[gs[:, None],
+                            jnp.clip(eidx, 0, red_q.shape[1] - 1)]
+                full = jnp.concatenate(
+                    [variants,
+                     jnp.broadcast_to(ech[:, None, :], (Q, V, E_CURVE))],
+                    axis=2)
+            else:
+                full = variants
+            fl = jnp.clip(fl, k, cfg.capacity)
+            targets = kmer.pack_prefix(full, fl, bits, cpw, words)
+            masks = ss.length_masks(fl, bits, cpw, words)
+            lo, hi = ss.search_range(
+                keys, targets.reshape(Q * V, words),
+                masks.reshape(Q * V, words),
+                jnp.zeros(Q * V, jnp.int32), jnp.full(Q * V, P, jnp.int32),
+                cfg.n_steps, bkt, bsh)
+            lo = lo.reshape(Q, V)
+            hi = hi.reshape(Q, V)
+            count = jnp.where(vvalid, hi - lo, 0)
+            out = dict(lo=lo, count=jnp.where(fk, count, 0), seed_len=fl,
+                       frame=jnp.broadcast_to(gs[:, None], (Q, V)),
+                       begin=jnp.broadcast_to(begin[:, None], (Q, V)),
+                       shift=jnp.zeros((Q, V), jnp.int32))
+            return 0, out
+
+        slots = (slot_frame.T, slot_begin.T,
+                 jnp.transpose(f_len, (1, 0, 2)),
+                 jnp.transpose(f_keep, (1, 0, 2)))
+        _, outs = jax.lax.scan(step, 0, slots)
+        res = {kk: jnp.transpose(vv, (1, 0, 2)).reshape(Q, T * V)
+               for kk, vv in outs.items()}
+        res["slot"] = jnp.broadcast_to(
+            (jnp.arange(Q, dtype=jnp.int32) * T)[:, None]
+            + (jnp.arange(T * V, dtype=jnp.int32) // V)[None, :],
+            (Q, T * V))
+        return res
+
+    def forced_fused_impl(keys, red_q, qlens, slot_frame, slot_begin,
+                          slot_rem, hits0, kmer_pos, kmer_frame,
+                          sbj_offsets, sbj_lens, trans_sbj, trans_q,
+                          red_sbj, subst_fwd, subst_rev, f_len, f_keep,
+                          bucket=None):
+        """Stream pass B (delta <= 1): forced stage 1 -> compaction ->
+        locate + prescore (stage 2 takes no decisions in this mode)."""
+        cur = stage1_forced_impl(keys, red_q, qlens, slot_frame,
+                                 slot_begin, slot_rem, f_len, f_keep,
+                                 bucket)
+        take, n_valid = _compact(cur)
+        Q, T = slot_frame.shape
+        res = stage2_impl(kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
+                          trans_sbj, trans_q, qlens,
+                          take("lo"), take("count"), take("seed_len"),
+                          take("frame"), take("begin"), take("shift"),
+                          take("slot"), jnp.zeros(Q * T, jnp.int32),
+                          slot_frame, slot_begin, slot_rem, hits0,
+                          red_q, red_sbj, subst_fwd, subst_rev)
+        res["stats"]["cursors_overflow"] = jnp.maximum(n_valid - C_MAX, 0)
+        return _pack(res)
+
+    def pigeon_cnt_impl(keys, red_q, qlens, slot_frame, slot_begin,
+                        slot_rem, hits0, kmer_pos, kmer_frame,
+                        sbj_offsets, sbj_lens, trans_sbj, trans_q,
+                        red_sbj, subst_fwd, subst_rev, bucket=None):
+        """Stream pass A (delta >= 2): stage 1 + locate + verification,
+        emitting the shard-LOCAL per-slot verified-count matrix
+        (Q*T, E+1) that stage2 would psum under a mesh."""
+        cur = stage1_impl(keys, red_q, qlens, slot_frame,
+                          slot_begin, slot_rem, hits0, bucket)
+        take, _ = _compact(cur)
+        Q, T = slot_frame.shape
+        return stage2_impl(kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
+                           trans_sbj, trans_q, qlens,
+                           take("lo"), take("count"), take("seed_len"),
+                           take("frame"), take("begin"), take("shift"),
+                           take("slot"), jnp.zeros(Q * T, jnp.int32),
+                           slot_frame, slot_begin, slot_rem, hits0,
+                           red_q, red_sbj, subst_fwd, subst_rev,
+                           emit_cnt=True)
+
+    def pigeon_decide_impl(cnt, qlens, slot_frame, slot_begin,
+                           slot_rem, hits0):
+        """Stream decide (delta >= 2): the whole-seed abundance cutoff +
+        adaptive elongation slot walk on GLOBAL (shard-summed) verified
+        counts — the shared _pigeon_slot_walk, so streaming cannot
+        diverge from the mesh/single-device decisions.  Returns
+        (L_dense, keep_dense): (Q*T,) each."""
+        Q, T = slot_frame.shape
+        if cfg.adaptive and cfg.ext_max > 0:
+            E = cfg.ext_max
+            cnt3 = cnt.reshape(Q, T, E + 1).transpose(1, 0, 2)
+            L_T, keep_T = _pigeon_slot_walk(
+                cfg, cnt3, qlens, slot_frame.T, slot_begin.T,
+                slot_rem.T, hits0, lambda x: x)
+            return L_T.T.reshape(Q * T), keep_T.T.reshape(Q * T)
+        return (jnp.zeros(Q * T, jnp.int32),
+                cnt[:, 0] <= cfg.occ_cap)
+
+    def pigeon_forced_fused_impl(keys, red_q, qlens, slot_frame,
+                                 slot_begin, slot_rem, hits0, kmer_pos,
+                                 kmer_frame, sbj_offsets, sbj_lens,
+                                 trans_sbj, trans_q, red_sbj, subst_fwd,
+                                 subst_rev, keep_dense, L_dense,
+                                 bucket=None):
+        """Stream pass B (delta >= 2): the fused program with the
+        host-accumulated global decisions injected in place of the
+        locally-psum'd ones."""
+        cur = stage1_impl(keys, red_q, qlens, slot_frame,
+                          slot_begin, slot_rem, hits0, bucket)
+        take, n_valid = _compact(cur)
+        Q, T = slot_frame.shape
+        res = stage2_impl(kmer_pos, kmer_frame, sbj_offsets, sbj_lens,
+                          trans_sbj, trans_q, qlens,
+                          take("lo"), take("count"), take("seed_len"),
+                          take("frame"), take("begin"), take("shift"),
+                          take("slot"), jnp.zeros(Q * T, jnp.int32),
+                          slot_frame, slot_begin, slot_rem, hits0,
+                          red_q, red_sbj, subst_fwd, subst_rev,
+                          forced_keep=keep_dense, forced_L=L_dense)
+        res["stats"]["cursors_overflow"] = jnp.maximum(n_valid - C_MAX, 0)
+        return _pack(res)
+
+    return dict(stage1=stage1_impl, stage2=stage2_impl, fused=fused_impl,
+                curve=curve_impl, curve_decide=curve_decide_impl,
+                forced_fused=forced_fused_impl,
+                pigeon_cnt=pigeon_cnt_impl,
+                pigeon_decide=pigeon_decide_impl,
+                pigeon_forced_fused=pigeon_forced_fused_impl,
+                pigeon=pigeon)
+
+
+def make_seeder(cfg: SeedConfig):  # noqa: F811  (public API, see _impls)
+    im = _build_seeder_impls(cfg)
+    return jax.jit(im["stage1"]), jax.jit(im["stage2"]), jax.jit(im["fused"])
+
+
+def make_stream_seeder(cfg: SeedConfig):
+    """Database-streaming seeder (SURVEY §2.2 P7 operational envelope;
+    VERDICT round-3 missing #1): run the seeding of ONE query batch over
+    N host-resident database shards streamed sequentially through a
+    single device, with outputs byte-identical to ``--db-shards N`` on an
+    N-device mesh (and therefore to a single global index).
+
+    Every decision that is a ``psum`` over the mesh's 'db' axis —
+    adaptive elongation accept/revert, the desiredOccs/hitsThisSeq
+    feedback, the abundance cutoff (search_algo.hpp:679-729) — consumes
+    only per-shard count SUMS, so the protocol is: pass A per shard
+    computes the local counts (curves for delta <= 1, verified per-slot
+    counts for pigeonhole), the device accumulates them across passes,
+    ``decide`` replays the decision walk once on the global counts, and
+    pass B per shard locates/prescores with the decisions FORCED.
+
+    Returns dict with keys: pigeon (bool), pass_a, decide, pass_b
+    (jitted; signatures per the impls above).  The pipeline's stream
+    driver is SearchContext._stream_seed_call."""
+    im = _build_seeder_impls(cfg)
+    if im["pigeon"]:
+        return dict(pigeon=True, pass_a=jax.jit(im["pigeon_cnt"]),
+                    decide=jax.jit(im["pigeon_decide"]),
+                    pass_b=jax.jit(im["pigeon_forced_fused"]))
+    return dict(pigeon=False, pass_a=jax.jit(im["curve"]),
+                decide=jax.jit(im["curve_decide"]),
+                pass_b=jax.jit(im["forced_fused"]))
