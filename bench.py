@@ -136,6 +136,17 @@ def main() -> None:
     M, D_TRUE, DBK = 256, 34, 39
     if on_cpu:
         M, D_TRUE, DBK = 32, 10, 15
+    # LAMBDA_BENCH_BAND / LAMBDA_BENCH_QLEN sweep the shape (long-window
+    # workloads, the X-drop measurement of VERDICT round-3 next #8)
+    band_env = os.environ.get("LAMBDA_BENCH_BAND")
+    if band_env and not on_cpu:
+        from lambda_tpu.search import extend as _ext
+        D_TRUE = int(band_env)
+        DBK = int(_ext._bucket_d(D_TRUE))
+    qlen_env = os.environ.get("LAMBDA_BENCH_QLEN")
+    if qlen_env and not on_cpu:
+        from lambda_tpu.search import extend as _ext
+        M = int(_ext._bucket(int(qlen_env)))
     N, W, BROWS, NC, JB = sw_band._plan(M + DBK, DBK)
     # production-serving batch: ~25k concurrent extensions (~1000
     # queries x 25 windows, ~1 GB image in HBM); large batches amortize
@@ -201,6 +212,17 @@ def main() -> None:
     q = rng.integers(0, A, size=(B, N)).astype(np.int32)
     q[:, M:] = A  # PAD beyond qlen
     s = rng.integers(0, A, size=(B, N)).astype(np.int32)
+    # LAMBDA_BENCH_HOMOLOGY=f plants near-diagonal homologs (~10%
+    # mutations) into fraction f of the pairs — the homology-shaped
+    # workload of the X-drop measurement: the non-homolog majority dies
+    # early, the homologs carry signal the whole window
+    hfrac = float(os.environ.get("LAMBDA_BENCH_HOMOLOGY", "0"))
+    if hfrac > 0:
+        for b in rng.choice(B, int(B * hfrac), replace=False):
+            off = int(rng.integers(0, max(D_TRUE, 1)))
+            s[b, off:off + M] = q[b, :M]
+            for _ in range(M // 10):
+                s[b, off + int(rng.integers(0, M))] = int(rng.integers(0, A))
     d_rows = np.full(B, D_TRUE, np.int32)
     dq, ds_, de8, ddr = map(jnp.asarray, (q, s, e8, d_rows))
     interpret = on_cpu

@@ -48,6 +48,11 @@ def main() -> None:
         opt = opt_mod.make_search_options(
             opt_mod.Domain.PROTEIN, query_file=f"{d}/db.fasta",
             index_file=f"{d}/db.lit", output=f"{d}/out.m8", verbosity=0)
+        # operating-point knobs (PERF.md measurements)
+        if os.environ.get("LAMBDA_E2E_QBATCH"):
+            opt.query_batch_size = int(os.environ["LAMBDA_E2E_QBATCH"])
+        if os.environ.get("LAMBDA_E2E_STREAM"):
+            opt.db_stream = int(os.environ["LAMBDA_E2E_STREAM"])
         ctx = pipeline.SearchContext(opt)
 
         # BLAST-shaped query mix (VERDICT round 3 weak #6): 70% homolog

@@ -259,8 +259,15 @@ def _band_image_lane(q, s, d_rows, subst_ext8, n_tiles, BT, P, LW, D, Ws, N):
     in_band = (wio >= (jnp.int32(D) - d_rows)[:, None, None]) & (wio <= D)
     subb = jnp.where(in_band, subb, PAD_SCORE8).astype(jnp.int8)
 
-    subb = subb.reshape(n_tiles, BT, P, N, Ws).transpose(0, 3, 1, 2, 4)
-    subb = subb.reshape(n_tiles, N, BT, P * Ws)
+    if P == 1:
+        # wide bands (Ws >= 128): skip the size-1 P axis — the 5-d
+        # reshape/transpose below otherwise materializes tile-padded
+        # temps with a 1-extent minor dimension (128x HBM expansion,
+        # OOM at production batch sizes on long-query shapes)
+        subb = subb.reshape(n_tiles, BT, N, Ws).transpose(0, 2, 1, 3)
+    else:
+        subb = subb.reshape(n_tiles, BT, P, N, Ws).transpose(0, 3, 1, 2, 4)
+        subb = subb.reshape(n_tiles, N, BT, P * Ws)
     if P * Ws < LW:
         subb = jnp.pad(subb, ((0, 0), (0, 0), (0, 0), (0, LW - P * Ws)),
                        constant_values=PAD_SCORE8)

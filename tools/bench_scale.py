@@ -116,25 +116,12 @@ def main() -> None:
 
     # BLAST-shaped queries: 70% homolog fragments (10% mutations), 30%
     # true negatives (random sequences — should mostly die in seeding)
-    qs = []
-    with open(db_path, "rb") as fh:
-        pass
-    # sample homolog sources from the generator, not the file (same rng
-    # family, different stream)
+    qs: list = []
     rng2 = np.random.default_rng(1)
     AA_list = list("ARNDCQEGHILKMFPSTWYV")
     for i in range(n_q):
         if i % 10 < 7:
-            src = AA[rng.integers(0, 20, seq_len)]  # independent decoy
-            # real homolog: re-derive one db sequence deterministically
-            sid = rng2.integers(0, n_db)
-            r3 = np.random.default_rng(0)  # cannot replay one seq cheaply
-            frag = AA[np.random.default_rng(int(sid)).integers(
-                0, 20, 120)]
-            # NOTE: these are NOT actual db fragments (regenerating a
-            # specific record would require replaying the stream); use
-            # direct file reads for a few instead
-            qs.append(None)
+            qs.append(None)       # homolog slot: filled from the file below
         else:
             qs.append(ab.encode(AA[rng2.integers(0, 20, 120)].tobytes(),
                                 ctx.qry_orig_alph))
