@@ -150,11 +150,13 @@ class LambdaOptions:
     command_line: str = ""
 
     # device execution knobs (no reference equivalent; TPU-specific).
-    # 256 queries/batch feeds the extension kernel ~4x more alignments
-    # per dispatch than the round-2 default of 64 (the kernel's GCUPS
-    # keep rising with batch; the HBM preflight accounts the banded
-    # substitution image, so oversized batches warn instead of OOM).
-    query_batch_size: int = 256
+    # 512 queries/batch feeds the extension kernel ~12k concurrent
+    # alignments per dispatch on homolog-rich workloads — the kernel's
+    # ≥67-GCUPS operating regime (docs/PERF.md §1) — and measured 17%
+    # more e2e throughput than 256 (836 vs 716 q/s/chip, round 5);
+    # 1024 measured no further gain.  The HBM preflight accounts the
+    # banded substitution image, so oversized batches warn, not OOM.
+    query_batch_size: int = 512
     max_hits_per_query_frame: int = 2048
 
     # multi-host deployment (docs/MULTIHOST.md):

@@ -282,6 +282,21 @@ class SearchContext:
                 for i in range(sh["keys"].shape[0])])
                 if self.bucket_m else None)
             self._stream_seeders: dict = {}
+            # the host index copy now lives ONLY in the stacked shard
+            # tensors: release the global/merged k-mer arrays (keeping a
+            # metadata-only stub for kmer_meta) so stream mode holds
+            # ~1x index RAM, not 2x — the streaming envelope exists for
+            # databases where that factor is the difference between
+            # fitting and not (checkRAM ~1.2x, search_algo.hpp:137-143)
+            from ..index.build import KmerIndex as _KI
+
+            km = idx.kmer_meta
+            idx.kmer = _KI(alphabet_size=km.alphabet_size, bits=km.bits,
+                           words=km.words,
+                           keys=np.zeros((0, km.words), np.uint32),
+                           pos=np.zeros(0, np.uint32),
+                           frame=np.zeros(0, np.uint32))
+            idx.kmer_shards = []
 
         # row count the seeder configs bisect over (an upper bound is
         # enough — search_range exits early): per-shard padded rows when
