@@ -335,6 +335,7 @@ def _build_seeder_impls(cfg: SeedConfig) -> dict:
             gcount = count if pigeon else _g(count)
             seed_len = jnp.full((Q, V), k, jnp.int32)
 
+            ext_over = jnp.int32(0)
             if cfg.adaptive and cfg.ext_max > 0 and not pigeon:
                 # desiredOccs (search_algo.hpp:695-700)
                 desired = jnp.where(
@@ -346,19 +347,65 @@ def _build_seeder_impls(cfg: SeedConfig) -> dict:
                         1))  # (Q,)
                 frame_len = qlens[gs]  # (Q,)
 
+                def _v(x):
+                    for ax in cfg.vary_axes:
+                        x = jax.lax.pcast(x, ax, to="varying")
+                    return x
+
+                # --- live-cursor compaction (round 5).  Only cursors with
+                # a nonzero GLOBAL count can ever accept an elongation, so
+                # the accept/revert walk runs on a compacted list of live
+                # cursors instead of the full (Q, V) grid — almost every
+                # variant is dead (count 0) or freezes on its first step,
+                # yet single-occurrence cursors extend the full ext_max
+                # (revert needs the count to DROP, search_algo.hpp:718),
+                # which made the uncompacted loop ~64% of the whole fused
+                # seeding dispatch (round-5 profile).  The compaction is
+                # exact: dropped cursors keep their initial (lo, count,
+                # seed_len=k) exactly as the frozen-at-step-1 path left
+                # them, and overflow past the budget triggers the same
+                # scale retry as the stage-2 cursor budget.  Liveness
+                # derives from the psum'd gcount, so every db shard
+                # compacts the identical cursor list (the in-loop psums
+                # stay aligned).
+                QV = Q * V
+                CE = min(cfg.max_cursors, QV)
+                live = (gcount > 0).reshape(QV)
+                rank = jnp.cumsum(live.astype(jnp.int32)) - 1
+                n_live = jnp.sum(live.astype(jnp.int32))
+                tgt_slot = jnp.where(live & (rank < CE), rank, CE)
+                sel = jnp.full(CE, QV, jnp.int32).at[tgt_slot].set(
+                    jnp.arange(QV, dtype=jnp.int32), mode="drop")
+                selc = jnp.minimum(sel, QV - 1)
+                row_ok = sel < QV
+                qidx = selc // V
+                tgt_c = targets.reshape(QV, words)[selc]
+                msk_c = masks.reshape(QV, words)[selc]
+                lo_c0 = lo.reshape(QV)[selc]
+                hi_c0 = hi.reshape(QV)[selc]
+                cnt_c0 = count.reshape(QV)[selc]
+                # zeroed global count freezes budget-overflow/pad rows on
+                # their first step (can ⊆ gcnt > 0)
+                gcnt_c0 = jnp.where(row_ok, gcount.reshape(QV)[selc], 0)
+                beg_c = begin[qidx]
+                gs_c = gs[qidx]
+                des_c = desired[qidx]
+                flen_c = frame_len[qidx]
+
                 def ext_body(_, st):
                     tgt, msk, lo_c, hi_c, cnt, gcnt, slen, frozen = st
-                    nxt_pos = begin[:, None] + slen  # (Q, V)
+                    nxt_pos = beg_c + slen  # (CE,)
                     # (gcnt > 0, not cnt > 0: a shard whose local range
                     # emptied keeps taking the GLOBAL decisions so every
                     # shard's accept sequence — and seed_len — matches
                     # the single-index run; empty local ranges just keep
                     # locating nothing)
-                    can = (~frozen) & (nxt_pos < frame_len[:, None]) \
+                    can = (~frozen) & (nxt_pos < flen_c) \
                         & (slen < cfg.capacity) & (gcnt > 0)
-                    nxt_char = red_q[gs[:, None],
+                    nxt_char = red_q[gs_c,
                                      jnp.clip(nxt_pos, 0, red_q.shape[1] - 1)]
-                    tgt2 = kmer.append_char(tgt, slen, nxt_char.astype(jnp.int32),
+                    tgt2 = kmer.append_char(tgt, slen,
+                                            nxt_char.astype(jnp.int32),
                                             bits, cpw, words)
                     msk2 = ss.length_masks(slen + 1, bits, cpw, words)
                     # non-extending cursors get an EMPTY search range: the
@@ -368,15 +415,12 @@ def _build_seeder_impls(cfg: SeedConfig) -> dict:
                     lo_in = jnp.where(can, lo_c, 0)
                     hi_in = jnp.where(can, hi_c, 0)
                     lo2, hi2 = ss.search_range(
-                        keys, tgt2.reshape(Q * V, words), msk2.reshape(Q * V, words),
-                        lo_in.reshape(Q * V), hi_in.reshape(Q * V), cfg.n_steps)
-                    lo2 = lo2.reshape(Q, V)
-                    hi2 = hi2.reshape(Q, V)
+                        keys, tgt2, msk2, lo_in, hi_in, cfg.n_steps)
                     cnt2 = hi2 - lo2
                     gcnt2 = _g(cnt2)
                     # revert if count drops below desiredOccs AND below old
                     # (decided on GLOBAL counts under db sharding)
-                    revert = (gcnt2 < desired[:, None]) & (gcnt2 < gcnt)
+                    revert = (gcnt2 < des_c) & (gcnt2 < gcnt)
                     accept = can & ~revert
                     frozen = frozen | (can & revert) | ~can
                     tgt = jnp.where(accept[..., None], tgt2, tgt)
@@ -388,16 +432,13 @@ def _build_seeder_impls(cfg: SeedConfig) -> dict:
                     slen = jnp.where(accept, slen + 1, slen)
                     return tgt, msk, lo_c, hi_c, cnt, gcnt, slen, frozen
 
-                def _v(x):
-                    for ax in cfg.vary_axes:
-                        x = jax.lax.pcast(x, ax, to="varying")
-                    return x
-
-                # constant-derived carries (masks/seed_len/frozen) become
+                # constant-derived carries (seed_len/frozen) become
                 # query-varying inside the loop; mark them so carry types
-                # match under the VMA checker
-                st0 = (targets, _v(masks), lo, hi, count, gcount,
-                       _v(seed_len), _v(jnp.zeros((Q, V), bool)))
+                # match under the VMA checker (the gathered arrays are
+                # already varying via the gcount-derived indices)
+                st0 = (tgt_c, msk_c, lo_c0, hi_c0, cnt_c0, gcnt_c0,
+                       _v(jnp.full(CE, k, jnp.int32)),
+                       _v(jnp.zeros(CE, bool)))
 
                 # while instead of fori: once every cursor is frozen the
                 # remaining elongation steps are no-ops — exit instead of
@@ -412,9 +453,22 @@ def _build_seeder_impls(cfg: SeedConfig) -> dict:
                     i, st = c
                     return i + 1, ext_body(i, st)
 
-                _, (targets, masks, lo, hi, count, gcount, seed_len, _) = \
+                _, (_, _, lo_f, _, cnt_f, gcnt_f, slen_f, _) = \
                     jax.lax.while_loop(ext_more, ext_step,
                                        (jnp.int32(0), st0))
+
+                # scatter the walked cursors back (pad rows carry sel=QV
+                # and are dropped); untouched cursors keep their initial
+                # values, exactly as the frozen path left them
+                lo = lo.reshape(QV).at[sel].set(
+                    lo_f, mode="drop").reshape(Q, V)
+                count = count.reshape(QV).at[sel].set(
+                    cnt_f, mode="drop").reshape(Q, V)
+                gcount = gcount.reshape(QV).at[sel].set(
+                    gcnt_f, mode="drop").reshape(Q, V)
+                seed_len = seed_len.reshape(QV).at[sel].set(
+                    slen_f, mode="drop").reshape(Q, V)
+                ext_over = jnp.maximum(n_live - CE, 0)
 
             # abundance cutoff (search_algo.hpp:729) — decided on GLOBAL
             # counts under db sharding.  In pigeonhole mode chunk-anchor
@@ -439,14 +493,19 @@ def _build_seeder_impls(cfg: SeedConfig) -> dict:
             out = dict(lo=lo, count=kept_count, seed_len=seed_len,
                        frame=jnp.broadcast_to(gs[:, None], (Q, V)),
                        begin=jnp.broadcast_to(begin[:, None], (Q, V)),
-                       shift=shift)
+                       shift=shift, ext_over=ext_over)
             return hits_this_seq, out
 
         slots = (slot_frame.T, slot_begin.T, slot_rem.T)  # (T, Q) each
         _, outs = jax.lax.scan(step, hits_this_seq0, slots)
+        # per-slot elongation-budget overflow: the retry needs the worst
+        # slot (budgets are per slot), folded into the cursor-overflow
+        # stat by the fused callers
+        ext_over_max = jnp.max(outs.pop("ext_over"))
         # outs entries: (T, Q, V) -> reshape to (Q, T*V) cursor lists
         res = {kk: jnp.transpose(vv, (1, 0, 2)).reshape(Q, T * V)
                for kk, vv in outs.items()}
+        res["ext_over"] = ext_over_max
         # seed-slot identity (q*T + t) of every cursor: column i of row q
         # came from slot t = i // V (stage2's whole-seed abundance cutoff
         # groups verified hits by this id)
@@ -754,7 +813,12 @@ def _build_seeder_impls(cfg: SeedConfig) -> dict:
                           take("slot"), jnp.zeros(Q * T, jnp.int32),
                           slot_frame, slot_begin, slot_rem, hits_this_seq0,
                           red_q, red_sbj, subst_fwd, subst_rev)
-        res["stats"]["cursors_overflow"] = jnp.maximum(n_valid - C_MAX, 0)
+        # the elongation compaction budget shares base (max_cursors) and
+        # retry-scale semantics with the stage-2 cursor budget, so its
+        # overflow folds into the same stat (max: both are "rows beyond
+        # an identically-scaled budget")
+        res["stats"]["cursors_overflow"] = jnp.maximum(
+            jnp.maximum(n_valid - C_MAX, 0), cur["ext_over"])
         return _pack(res)
 
     C_MAX = cfg.max_cursors
@@ -1035,7 +1099,8 @@ def _build_seeder_impls(cfg: SeedConfig) -> dict:
                           slot_frame, slot_begin, slot_rem, hits0,
                           red_q, red_sbj, subst_fwd, subst_rev,
                           forced_keep=keep_dense, forced_L=L_dense)
-        res["stats"]["cursors_overflow"] = jnp.maximum(n_valid - C_MAX, 0)
+        res["stats"]["cursors_overflow"] = jnp.maximum(
+            jnp.maximum(n_valid - C_MAX, 0), cur["ext_over"])
         return _pack(res)
 
     return dict(stage1=stage1_impl, stage2=stage2_impl, fused=fused_impl,
