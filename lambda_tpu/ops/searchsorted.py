@@ -143,10 +143,13 @@ def search_range(keys: jnp.ndarray, targets: jnp.ndarray, masks: jnp.ndarray,
 
 def pick_bucket_m(bits: int, cpw: int, n_rows: int) -> int:
     """Largest first-word prefix length m (chars) whose bucket table
-    (2^(bits*m)+1 int32 entries) stays within ~4x the row count and a
-    4 Mi-entry cap — keeps the table O(index) while leaving average
-    bucket sizes of a handful of rows."""
-    cap = min(1 << 22, max(4096, 4 * max(n_rows, 1)))
+    (2^(bits*m)+1 int32 entries) stays within ~16x the row count and a
+    16 Mi-entry cap (64 MB — ~2.5% of a 10^8-position index's device
+    bytes).  A sparser table than rows means most dead seed variants hit
+    an EMPTY bucket and converge before the first bisection step, and
+    abundant-prefix buckets shrink ~16x (round 5; the previous 4 Mi /
+    4x cap left ~100-row average buckets at 10^8 positions)."""
+    cap = min(1 << 24, max(4096, 16 * max(n_rows, 1)))
     m = 0
     while m < cpw and (1 << (bits * (m + 1))) <= cap:
         m += 1

@@ -299,3 +299,77 @@ def test_pigeonhole_adaptive_elongation_matches_oracle():
     # the fixture must actually exercise elongation (some seed_len > k)
     assert any(sl > cfg.seed_length for (_, _, sl, _, _) in want), want
     assert hits == want, (len(hits), len(want))
+
+
+def _run_seeder_raw(cfg, trans_frames, qfs, unknown_rank=99):
+    """_run_seeder without the no-overflow assertion (for budget tests)."""
+    concat, offsets, lengths = fr.concat_frames(trans_frames)
+    idx = build_kmer_index(concat, offsets, cfg.alphabet_size)
+    _, _, fused = seeding.make_seeder(cfg)
+    slot_frame, slot_begin, slot_rem, T, _ = seeding.compute_seed_slots(
+        qfs, 1, unknown_rank, cfg)
+    G = len(qfs)
+    Lmax = max(len(f) for f in qfs)
+    red_q = np.zeros((G, Lmax), np.int32)
+    qlens = np.array([len(f) for f in qfs], np.int32)
+    for g, f in enumerate(qfs):
+        red_q[g, :len(f)] = f
+    A = cfg.alphabet_size
+    subst = np.full((A, A), -1, np.int32)
+    np.fill_diagonal(subst, 2)
+    res = fused(jnp.asarray(idx.keys), jnp.asarray(red_q),
+                jnp.asarray(qlens), jnp.asarray(slot_frame),
+                jnp.asarray(slot_begin), jnp.asarray(slot_rem),
+                jnp.zeros(G, jnp.int32),
+                jnp.asarray(idx.pos.astype(np.int32)),
+                jnp.asarray(idx.frame.astype(np.int32)),
+                jnp.asarray(offsets[:-1].astype(np.int32)),
+                jnp.asarray(lengths.astype(np.int32)),
+                jnp.asarray(concat.astype(np.int8)),
+                jnp.asarray(red_q),
+                jnp.asarray(concat.astype(np.int8)),
+                jnp.asarray(subst), jnp.asarray(subst))
+    h = {k: np.asarray(v) for k, v in res.items()
+         if k not in ("stats", "packed", "stats_vec")}
+    st = {k: int(v) for k, v in res["stats"].items()}
+    sel = h["valid"]
+    hits = set(zip(h["q_frame"][sel], h["q_begin"][sel],
+                   h["seed_len"][sel], h["s_frame"][sel], h["s_off"][sel]))
+    return hits, st
+
+
+def test_elongation_budget_overflow_and_invariance():
+    """The adaptive elongation live-cursor compaction (round 5) is
+    budget-invariant whenever it fits — and reports cursor overflow
+    (driving the pipeline's scale retry, pipeline.collect_batch) when
+    the live set exceeds max_cursors.  Fixture: small alphabet + short
+    seeds so nearly every (query, variant) cursor is live."""
+    rng = np.random.default_rng(5)
+    A = 4
+    subjects = [rng.integers(0, A, size=700).astype(np.uint8)
+                for _ in range(3)]
+    qfs = [np.concatenate([subjects[i % 3][(i * 37) % 500:(i * 37) % 500 + 40],
+                           rng.integers(0, A, size=8).astype(np.uint8)])
+           for i in range(6)]
+
+    base = dict(seed_length=5, seed_offset=3, max_seed_dist=1,
+                half_exact=False, adaptive=True, max_matches=8,
+                alphabet_size=A)
+    big = _base_cfg(**base, max_cursors=4096)
+    hits_big, st_big = _run_seeder_raw(big, subjects, qfs)
+    assert st_big["cursors_overflow"] == 0
+    assert hits_big, "fixture found nothing"
+    # must exercise elongation
+    assert any(sl > big.seed_length for (_, _, sl, _, _) in hits_big)
+
+    # a smaller budget that still fits the live set: identical hits
+    mid = _base_cfg(**base, max_cursors=512)
+    hits_mid, st_mid = _run_seeder_raw(mid, subjects, qfs)
+    if st_mid["cursors_overflow"] == 0:
+        assert hits_mid == hits_big
+    # a budget far below the live set must REPORT the overflow (the
+    # pipeline then retries at a larger scale; it never silently
+    # truncates the walk)
+    tiny = _base_cfg(**base, max_cursors=16)
+    _, st_tiny = _run_seeder_raw(tiny, subjects, qfs)
+    assert st_tiny["cursors_overflow"] > 0

@@ -42,25 +42,42 @@ def main() -> None:
     rng = np.random.default_rng(0)
     AA = "ARNDCQEGHILKMFPSTWYV"
     with tempfile.TemporaryDirectory() as d:
-        db = [fasta.SeqRecord(f"s{i}",
-                              "".join(rng.choice(list(AA), 400)).encode())
-              for i in range(n_db)]
-        fasta.write_fasta(f"{d}/db.fasta", db)
-        from lambda_tpu.index import artifact
-        iopts = opt_mod.IndexerOptions(domain=opt_mod.Domain.PROTEIN,
-                                       db_file=f"{d}/db.fasta",
-                                       index_file=f"{d}/db.lit")
-        artifact.save_index(artifact.build_index(iopts), f"{d}/db.lit")
+        # LAMBDA_PROFILE_INDEX=<path.lit> profiles against an existing
+        # artifact (e.g. the tools/bench_scale.py 10^8 corpus) instead of
+        # the built-in toy db; queries are homolog fragments of its
+        # FASTA sibling (same stem, .fasta)
+        ext_index = os.environ.get("LAMBDA_PROFILE_INDEX")
+        if ext_index:
+            db_fa = os.path.splitext(ext_index)[0] + ".fasta"
+            db = []
+            for i, rec in enumerate(fasta.read_fasta(db_fa)):
+                db.append(rec)
+                if i >= max(n_db, 1000):
+                    break
+            index_file = ext_index
+            # SearchContext peeks the query file for alphabet detection
+            fasta.write_fasta(f"{d}/db.fasta", db[:64])
+        else:
+            db = [fasta.SeqRecord(f"s{i}",
+                                  "".join(rng.choice(list(AA), 400)).encode())
+                  for i in range(n_db)]
+            fasta.write_fasta(f"{d}/db.fasta", db)
+            from lambda_tpu.index import artifact
+            iopts = opt_mod.IndexerOptions(domain=opt_mod.Domain.PROTEIN,
+                                           db_file=f"{d}/db.fasta",
+                                           index_file=f"{d}/db.lit")
+            artifact.save_index(artifact.build_index(iopts), f"{d}/db.lit")
+            index_file = f"{d}/db.lit"
 
         opt = opt_mod.make_search_options(
             opt_mod.Domain.PROTEIN, query_file=f"{d}/db.fasta",
-            index_file=f"{d}/db.lit", output=f"{d}/out.m8", verbosity=0)
+            index_file=index_file, output=f"{d}/out.m8", verbosity=0)
         ctx = pipeline.SearchContext(opt)
 
         qs = []
         for i in range(n_q):
-            src = db[rng.integers(0, n_db)].seq.decode()
-            st = rng.integers(0, 250)
+            src = db[rng.integers(0, len(db))].seq.decode()
+            st = rng.integers(0, max(1, len(src) - 150))
             frag = list(src[st:st + 120])
             for _ in range(12):
                 frag[rng.integers(0, len(frag))] = rng.choice(list(AA))
