@@ -106,6 +106,11 @@ def main() -> None:
                 "write": round(st.time_write, 3),
             },
             "trace_write_frac": round(tail / max(total_phase, 1e-9), 3),
+            # kernel operating point actually fed by the pipeline
+            # (vs the GCUPS-vs-B curve in docs/PERF.md section 1)
+            "ext_rows_per_dispatch": round(
+                st.ext_dispatch_rows / max(st.ext_dispatches, 1), 1),
+            "ext_dispatches": st.ext_dispatches,
         }))
 
 

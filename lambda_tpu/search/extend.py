@@ -321,7 +321,7 @@ def _ext_geometry(m: MatchBatch):
 
 
 def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
-                  gap_first, gap_extend, bs_split, with_trace):
+                  gap_first, gap_extend, bs_split, with_trace, stats=None):
     n = len(m)
     scores = np.zeros(n, dtype=np.int64)
     traces: list = [None] * n
@@ -370,6 +370,9 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
             ncs = np.array([nc_of[p] for p in zip(qb.tolist(), db.tolist())],
                            dtype=np.int32)
             kw.update(nc=ncs, x_drop=sw_band._XDROP)
+        if stats is not None:
+            stats.ext_dispatches += 1
+            stats.ext_dispatch_rows += n
         return native.sw_score_batch(*args, **kw), traces
 
     # bisulfite: odd subject frames use the reverse matrix
@@ -388,6 +391,9 @@ def _run_bucketed(m, q_frames, s_window, subst_ext_fwd, subst_ext_rev,
 
     for (qbk, dbk, r), idxs in _fuse_dispatch_groups(group_keys):
         B = len(idxs)
+        if stats is not None and not with_trace:
+            stats.ext_dispatches += 1
+            stats.ext_dispatch_rows += B
         sbk = qbk + dbk
         if use_pallas:
             # same banded-image HBM preflight as sw_scores_device —
@@ -597,11 +603,14 @@ def _device_score_bucket(trans_q, trans_sbj, sbj_offsets, sbj_lens,
 
 def sw_scores_device(m: MatchBatch, d_trans_q, d_trans_sbj, d_sbj_offsets,
                      d_sbj_lens, e8_fwd, e8_rev, gap_first, gap_extend,
-                     bs_split: bool) -> np.ndarray:
+                     bs_split: bool, stats=None) -> np.ndarray:
     """Pass-1 banded scores with device-side window gathering.  Matches
     are bucketed by padded (qlen, band) shape class like the host path;
     each bucket is one fused dispatch (gather -> sheared band image ->
-    banded Pallas DP)."""
+    banded Pallas DP).  ``stats`` (a StatsHolder) records per-dispatch
+    alignment counts — the kernel's operating point (GCUPS vs B curve,
+    docs/PERF.md §1) is set by these, so the funnel report can show
+    whether the pipeline feeds the kernel its efficient regime."""
     from ..ops import sw_band
 
     n = len(m)
@@ -613,6 +622,9 @@ def sw_scores_device(m: MatchBatch, d_trans_q, d_trans_sbj, d_sbj_offsets,
     group_keys = bucket_groups(qlen, d_row, rev)
     pending = []          # dispatch ALL buckets first, then sync once
     for (qbk, dbk, r), idxs in _fuse_dispatch_groups(group_keys):
+        if stats is not None:
+            stats.ext_dispatches += 1
+            stats.ext_dispatch_rows += len(idxs)
         N, W, BTL, _, _ = sw_band._plan(qbk + dbk, dbk)
         Bp = sw_band._ceil(len(idxs), BTL)
         _warn_image_hbm(Bp, N, dbk)

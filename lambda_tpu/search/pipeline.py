@@ -565,7 +565,8 @@ class SearchContext:
                 self.mesh, N, D, gf, ge, kernel=kern)
         return self._band_scorers[key]
 
-    def _sharded_scores(self, m, d_trans_q, gf: int, ge: int) -> np.ndarray:
+    def _sharded_scores(self, m, d_trans_q, gf: int, ge: int,
+                        stats=None) -> np.ndarray:
         """Pass-1 banded scores over the (q, db) mesh: matches are
         partitioned by (query shard, subject shard) and bucketed by
         (qlen, band) shape class; each device gathers windows from its
@@ -591,6 +592,9 @@ class SearchContext:
         pending = []          # dispatch ALL shape classes, then sync once
         for (qbk, dbk, r), idxs in groups.items():
             idxs = np.asarray(idxs)
+            if stats is not None:
+                stats.ext_dispatches += 1
+                stats.ext_dispatch_rows += len(idxs)
             N, W, BTL, _, _ = sw_band._plan(qbk + dbk, dbk)
             # rows per (q, db) cell, padded to a common lane-tile multiple.
             # Fully vectorized (no per-match Python loop — VERDICT round 3
@@ -995,7 +999,8 @@ class SearchContext:
             if self.mesh is not None:
                 # distributed pass 1: per-shard window gather + banded SW
                 # on shard-local subject tensors
-                scores = self._sharded_scores(m, d_trans_q, gf, ge)
+                scores = self._sharded_scores(m, d_trans_q, gf, ge,
+                                              stats=stats)
             elif extend._use_pallas() and self.db_stream <= 1:
                 # fully device-resident score pass (windows gathered from
                 # the resident query/subject tensors).  In --db-stream
@@ -1006,11 +1011,11 @@ class SearchContext:
                 scores = extend.sw_scores_device(
                     m, d_trans_q, self.d_trans_sbj, self.d_sbj_offsets,
                     self.d_sbj_lens, self.e8_fwd, self.e8_rev, gf, ge,
-                    self.bs_mode)
+                    self.bs_mode, stats=stats)
             if scores is None:
                 scores, _ = extend._run_bucketed(
                     m, trans, self.s_windows, self.sw_fwd, self.sw_rev,
-                    gf, ge, self.bs_mode, with_trace=False)
+                    gf, ge, self.bs_mode, with_trace=False, stats=stats)
 
         # --- bit-score / e-value filters (search_algo.hpp:1252-1283),
         # vectorized over the match batch

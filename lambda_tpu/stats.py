@@ -30,6 +30,11 @@ class StatsHolder:
     # TPU-specific overflow counters (fixed-budget buffers)
     cursors_overflow: int = 0
     hits_overflow: int = 0
+    # extension-kernel operating point: dispatches and the alignments
+    # they carried (mean rows/dispatch vs the GCUPS-vs-B curve,
+    # docs/PERF.md §1)
+    ext_dispatches: int = 0
+    ext_dispatch_rows: int = 0
     # micro-stats: per-phase wall time (seconds)
     time_seed: float = 0.0
     time_locate: float = 0.0
@@ -113,6 +118,10 @@ class StatsHolder:
                           - mean * mean, 0.0)
                 print(f"   [seed length: mean {mean:.1f} sd {var ** 0.5:.1f}"
                       f" max {self.seed_len_max} n {self.seed_len_n}]")
+            if self.ext_dispatches:
+                print(f"   [extension dispatches: {self.ext_dispatches}, "
+                      f"mean alignments/dispatch "
+                      f"{self.ext_dispatch_rows / self.ext_dispatches:.0f}]")
             if rem != self.hits_final:
                 print("WARNING: hits don't add up")
             print("   PHASE TIMES (s)   seed={:.2f} locate={:.2f} merge={:.2f}"
