@@ -327,7 +327,7 @@ def make_sharded_band_scorer(mesh: Mesh, N: int, D: int, gap_first: int,
     replicated; per-device bytes scale ~1/db_shards).
 
     Inputs (global shapes; Qm = q-shards, Dm = db-shards):
-      trans_q    (G, L) int32          -> P('q', None)   query frame rows
+      trans_q    (G, L) int8/int32     -> P('q', None)   query frame rows
       trans_sbj  (Dm, S) int8          -> P('db', None)  local subject concat
       offsets    (Dm, F) int32         -> P('db', None)  local frame offsets
       lengths    (Dm, F) int32         -> P('db', None)

@@ -700,8 +700,12 @@ class SearchContext:
 
         Lmax = extend._bucket(
             max(max((len(f) for f in trans), default=1), cfg.seed_length + 1))
-        red_q = np.zeros((G, Lmax), dtype=np.int32)
-        trans_q = np.zeros((G, Lmax), dtype=np.int32)
+        # int8: alphabet ranks are < 30 and the relay H2D runs at MB/s —
+        # these two arrays are most of the per-batch upload; every
+        # device consumer widens at entry (seeding stage1/stage2/curve,
+        # extend._device_score_bucket, mesh band scorer)
+        red_q = np.zeros((G, Lmax), dtype=np.int8)
+        trans_q = np.zeros((G, Lmax), dtype=np.int8)
         qlens = np.zeros(G, dtype=np.int32)
         for g, (tf, rf) in enumerate(zip(trans, red)):
             qlens[g] = len(tf)

@@ -270,7 +270,7 @@ def _build_seeder_impls(cfg: SeedConfig) -> dict:
         """Scan over seed slots.  Emits per-(q, t, v) cursors.
 
         keys: (P, words) u32 sorted index keys
-        red_q: (G, L) int32 reduced query frames (0-padded)
+        red_q: (G, L) int8/int32 reduced query frames (0-padded)
         qlens: (G,) int32 frame lengths
         slot_*: (Q, T) int32
         bucket: (2^(bits*bucket_m)+1,) int32 prefix bucket table (None
@@ -279,6 +279,9 @@ def _build_seeder_impls(cfg: SeedConfig) -> dict:
         """
         bkt = bucket if (cfg.bucket_m and bucket is not None) else None
         bsh = cfg.bucket_shift if bkt is not None else None
+        # queries upload as int8 (4x smaller H2D per batch — alphabet
+        # ranks are < 30); widen once on device (free for int32 callers)
+        red_q = red_q.astype(jnp.int32)
         P = keys.shape[0]
         Q, T = slot_frame.shape
 
@@ -535,6 +538,9 @@ def _build_seeder_impls(cfg: SeedConfig) -> dict:
         ``forced_L`` replace the locally-computed (psum'd) abundance/
         elongation decisions with host-accumulated global ones (pass B).
         """
+        # queries upload as int8; widen once (no-op for int32 callers)
+        red_q = red_q.astype(jnp.int32)
+        trans_q = trans_q.astype(jnp.int32)
         C = cur_lo.shape[0]
         Hn = cfg.max_hits
 
@@ -848,6 +854,7 @@ def _build_seeder_impls(cfg: SeedConfig) -> dict:
         """
         bkt = bucket if (cfg.bucket_m and bucket is not None) else None
         bsh = cfg.bucket_shift if bkt is not None else None
+        red_q = red_q.astype(jnp.int32)   # int8 upload, see stage1_impl
         P = keys.shape[0]
         Q, T = slot_frame.shape
 
@@ -966,6 +973,7 @@ def _build_seeder_impls(cfg: SeedConfig) -> dict:
         walk.  Emits the same cursor dict as stage1_impl."""
         bkt = bucket if (cfg.bucket_m and bucket is not None) else None
         bsh = cfg.bucket_shift if bkt is not None else None
+        red_q = red_q.astype(jnp.int32)   # int8 upload, see stage1_impl
         P = keys.shape[0]
         Q, T = slot_frame.shape
 
